@@ -1,0 +1,148 @@
+"""Line-searched Newton with Hackbusch-Reusken accept-best strategy.
+
+TPU-native replacement for ``Dune::PDELab::Newton`` as configured by the
+reference (src/instationary_pnp_from_pb_md.hh:214-228): defect-based
+convergence (relative ``newtonReduction`` + absolute floor), dynamic linear
+reduction min(minLinearReduction, (defect/prev)^2) per the PDELab quadratic
+convergence model, and the ``hackbuschReuskenAcceptBest`` backtracking line
+search (halve lambda until new defect <= (1 - lambda/4) * defect, tracking
+and keeping the best iterate; src line-search max from
+``newtonLineSearchMaxIteration``).
+
+The Newton outer loop is a Python loop (few iterations, each re-building
+the element Jacobian + preconditioner); each defect evaluation, linear
+solve, and the full line search are jitted JAX programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonParams:
+    reduction: float = 1e-5
+    abs_limit: float = 1e-12
+    min_linear_reduction: float = 1e-5
+    max_iterations: int = 50
+    line_search_max: int = 500
+    line_search_damping: float = 0.5
+    verbosity: int = 0
+
+
+@dataclasses.dataclass
+class NewtonResult:
+    u: Any
+    defect: float
+    initial_defect: float
+    iterations: int
+    converged: bool
+    linear_iterations: int = 0
+
+
+def _defect(r: Array) -> Array:
+    return jnp.sqrt(jnp.dot(r, r))
+
+
+def newton_solve(
+    residual_fn: Callable[[Array], Array],
+    linear_solve_fn: Callable[[Array, Array, float], tuple],
+    u0: Array,
+    params: NewtonParams,
+) -> NewtonResult:
+    """Solve residual_fn(u) = 0.
+
+    ``residual_fn``: u -> constrained residual (Dirichlet rows zeroed).
+    ``linear_solve_fn``: (u, r, linear_reduction) -> (z, lin_iters) solving
+      J(u) z = r with homogeneous constraints (z = 0 on Dirichlet dofs);
+      it owns Jacobian assembly + preconditioner setup.
+    """
+    u = u0
+    r = residual_fn(u)
+    defect0 = float(_defect(r))
+    defect = defect0
+    if defect0 < params.abs_limit:
+        return NewtonResult(u=u, defect=defect0, initial_defect=defect0,
+                            iterations=0, converged=True)
+
+    line_search = _make_line_search(residual_fn, params)
+    total_lin = 0
+    prev_defect = defect
+    for it in range(params.max_iterations):
+        if defect <= params.reduction * defect0 or defect <= params.abs_limit:
+            return NewtonResult(u=u, defect=defect, initial_defect=defect0,
+                                iterations=it, converged=True,
+                                linear_iterations=total_lin)
+        if it == 0:
+            lin_red = params.min_linear_reduction
+        else:
+            lin_red = min(params.min_linear_reduction,
+                          (defect / prev_defect) ** 2)
+        z, lin_iters = linear_solve_fn(u, r, lin_red)
+        total_lin += int(lin_iters)
+        prev_defect = defect
+        u, r, defect_arr = line_search(u, z, jnp.asarray(defect))
+        defect = float(defect_arr)
+        if params.verbosity >= 2:
+            print(f"  Newton {it + 1}: defect {defect:.6e} "
+                  f"(reduction {defect / defect0:.3e}, lin iters {lin_iters})")
+        if not jnp.isfinite(defect):
+            break
+
+    converged = defect <= params.reduction * defect0 or defect <= params.abs_limit
+    return NewtonResult(u=u, defect=defect, initial_defect=defect0,
+                        iterations=params.max_iterations, converged=bool(converged),
+                        linear_iterations=total_lin)
+
+
+def _make_line_search(residual_fn, params: NewtonParams):
+    """Hackbusch-Reusken accept-best backtracking as a jitted while_loop."""
+    damping = params.line_search_damping
+    max_it = params.line_search_max
+
+    @jax.jit
+    def line_search(u, z, defect):
+        def try_lambda(lam):
+            u_new = u - lam * z
+            r_new = residual_fn(u_new)
+            return u_new, r_new, _defect(r_new)
+
+        u1, r1, d1 = try_lambda(jnp.asarray(1.0))
+
+        def cond(state):
+            lam, d, _, _, _, _, k, accepted = state
+            return (~accepted) & (k < max_it)
+
+        def body(state):
+            lam, d, u_c, r_c, best_d, best_lam, k, _ = state
+            accept = d <= (1.0 - lam / 4.0) * defect
+            best_lam = jnp.where(d < best_d, lam, best_lam)
+            best_d = jnp.minimum(d, best_d)
+            lam_next = lam * damping
+            u_n, r_n, d_n = try_lambda(lam_next)
+            # if accepted, freeze state (loop exits via flag)
+            lam = jnp.where(accept, lam, lam_next)
+            u_c = jnp.where(accept, u_c, u_n)
+            r_c = jnp.where(accept, r_c, r_n)
+            d = jnp.where(accept, d, d_n)
+            return (lam, d, u_c, r_c, best_d, best_lam, k + 1, accept)
+
+        init = (jnp.asarray(1.0), d1, u1, r1, d1, jnp.asarray(1.0),
+                jnp.int32(0), jnp.asarray(False))
+        lam, d, u_c, r_c, best_d, best_lam, k, accepted = jax.lax.while_loop(
+            cond, body, init)
+        # accept-best fallback: if never accepted, use best lambda seen
+        use_best = (~accepted) & (best_d < d)
+        u_f, r_f, d_f = try_lambda(best_lam)
+        u_out = jnp.where(use_best, u_f, u_c)
+        r_out = jnp.where(use_best, r_f, r_c)
+        d_out = jnp.where(use_best, d_f, d)
+        return u_out, r_out, d_out
+
+    return line_search
