@@ -1,0 +1,75 @@
+"""Phase A: nonlinear Poisson-Boltzmann solve.
+
+Parity: reference src/instationary_pnp_from_pb_md.hh:125-228 — P_k space on
+the full mesh, coulomb (component 0) BC table, Newton with
+Hackbusch-Reusken accept-best line search over the five config knobs,
+Krylov backend selected by config.
+
+Reference behavioral note reproduced here: the reference never interpolates
+Dirichlet values into the PB initial iterate (pbu = 0.0 at
+src/instationary_pnp_from_pb_md.hh:145 and PDELab Newton leaves constrained
+dofs untouched), so PB is effectively solved with phi = 0 on all Dirichlet
+surfaces regardless of configured coulombPotential. Pass
+``dirichlet_from_config=True`` to impose the configured values instead
+(documented deviation switch).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Sysparams
+from ..fem import assembly as A
+from ..fem.space import FunctionSpace
+from ..operators import volume as V
+from ..solvers.newton import newton_solve, NewtonParams, NewtonResult
+from ..solvers.linear_problem import make_krylov_solver
+from .common import ScalarContext, make_scalar_context
+
+
+def make_pb_residual(ctx: ScalarContext):
+    sys = ctx.sys
+
+    @jax.jit
+    def residual(u):
+        ue = u[ctx.dofmap]
+        r_el = V.pb_residual_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical, sys.pi)
+        r = ctx.scatter(r_el) + ctx.flux_vector
+        return ctx.constrain(r)
+
+    return residual
+
+
+def make_pb_linear_solver(ctx: ScalarContext):
+    sys = ctx.sys
+    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
+
+    @jax.jit
+    def solve(u, r, reduction):
+        ue = u[ctx.dofmap]
+        A_el = V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical, sys.pi)
+        op = A.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
+        diag = A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
+        res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), diag, reduction)
+        return res.x, res.iterations
+
+    return solve
+
+
+def solve_pb(sys: Sysparams, space: FunctionSpace,
+             dirichlet_from_config: bool = False,
+             quad_order: int = 3) -> NewtonResult:
+    ctx = make_scalar_context(sys, space, component=0, quad_order=quad_order)
+    u0 = jnp.zeros(ctx.ndof)
+    if dirichlet_from_config:
+        u0 = jnp.where(ctx.free, u0, ctx.dirichlet)
+    params = NewtonParams(
+        reduction=sys.newtonReduction,
+        min_linear_reduction=sys.newtonMinLinearReduction,
+        max_iterations=int(sys.newtonMaxIterations),
+        line_search_max=int(sys.newtonLineSearchMaxIteration),
+        verbosity=sys.verbosity,
+    )
+    return newton_solve(
+        make_pb_residual(ctx), make_pb_linear_solver(ctx), u0, params)
