@@ -9,6 +9,15 @@ all terms axisymmetric-weighted when cylindrical:
   c+  rows:  grad(c+).grad(v) - c+ (grad(phi).grad(v))
   c-  rows:  grad(c-).grad(v) + c- (grad(phi).grad(v))
 
+CONVENTION NOTE: these signs are the reference's own and are internally
+self-consistent (equilibria c+ = C e^{+phi}, c- = C e^{-phi} combine with
+the phi row to reproduce PB), but they are the c+/c- MIRROR of the
+operator-splitting production driver, whose DiffusionOperator uses
+valency +1 for c+ giving c+ = C e^{-phi}
+(src/diffusion_operator.hh:110 vs src/pnp_operator.hh:176-193 — the
+monolithic drivers also interpolate initial values with the e^{-phi}
+convention, another latent inconsistency in that spec code).
+
 The mass operator for instationary runs is tau * c (+/-) * v on the species
 blocks only (reference src/pnp_toperator.hh:96-99; its wrong-row
 accumulation bug is NOT replicated, see SURVEY.md "quirks").

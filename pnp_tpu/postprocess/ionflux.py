@@ -60,7 +60,7 @@ def build_ionflux_tables(space: FunctionSpace, cylindrical: bool,
     gref = space.ref.gradients(loc_c)                 # (B, n, 2)
     _, _, jinv_t = element_jacobians(mesh)
     jt = jinv_t[mesh.edge_tri]                        # (B, 2, 2)
-    grad_c = np.einsum("bab,bib->bia", jt, gref)
+    grad_c = np.einsum("bad,bid->bia", jt, gref)
 
     pa = mesh.nodes[mesh.edges[:, 0]]
     pb = mesh.nodes[mesh.edges[:, 1]]

@@ -23,16 +23,19 @@ Reference behaviors reproduced exactly (see SURVEY.md):
   * dt = tau; the potential used by the species steps is updated only at
     the potentialUpdateFreq cadence.
 
-TPU-native structure: one jitted ``species_step`` (both DIRK stages of both
-species) + one jitted Poisson SLP apply; steps between outputs run in a
-``lax.scan`` when the update cadence allows it.
+TPU-native structure: ``build_pnp_system`` produces jitted ``species_step``
+and ``poisson_solve`` programs (optionally with element tables sharded over
+a ``jax.sharding.Mesh`` — GSPMD inserts the psum collectives), plus a
+``scan_steps`` fast path that fuses whole output blocks into one
+``lax.scan`` when the potential-update cadence is every step.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +60,158 @@ Array = Any
 
 
 @dataclasses.dataclass
+class PnpSystem:
+    """Compiled pipeline pieces for the instationary PNP-from-PB workload."""
+
+    sys: Sysparams
+    space: FunctionSpace
+    pb: Any                      # PB bootstrap field
+    pb_newton_iterations: int
+    uphi0: Any
+    ucp0: Any
+    ucm0: Any
+    species_step: Callable       # (uphi, ucp, ucm) -> (ucp', ucm', iters)
+    poisson_solve: Callable      # (uphi, ucp, ucm) -> (uphi', iters)
+    fused_step: Callable         # (uphi, ucp, ucm) -> (uphi', ucp', ucm')
+    scan_steps: Callable         # ((uphi, ucp, ucm), n) -> (uphi', ucp', ucm')
+    ionflux_tables: Any
+    dt: float
+
+
+def build_pnp_system(
+    sys: Sysparams,
+    space: FunctionSpace,
+    tableau: Optional[Tableau] = None,
+    device_mesh=None,
+    pb_field=None,
+) -> PnpSystem:
+    tab = tableau if tableau is not None else alexander2()
+    dt = sys.tau
+    pi = sys.pi
+
+    # ---- Phase A: PB bootstrap ------------------------------------------
+    if pb_field is None:
+        pb_res = solve_pb(sys, space)
+        pb, pb_iters = pb_res.u, pb_res.iterations
+    else:
+        pb, pb_iters = pb_field, 0
+
+    # ---- Phase B: constraints + initial fields --------------------------
+    ctx_phi = make_scalar_context(sys, space, component=0, quad_order=3)
+    free_cp = jnp.asarray(C.free_dof_mask(space, sys, 1))
+    free_cm = jnp.asarray(C.free_dof_mask(space, sys, 2))
+    g_cp = jnp.asarray(C.dirichlet_dof_values(space, sys, 1))
+    g_cm = jnp.asarray(C.dirichlet_dof_values(space, sys, 2))
+
+    uphi0 = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 0, np.asarray(pb)))
+    ucp0 = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 1, np.asarray(pb)))
+    ucm0 = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 2, np.asarray(pb)))
+
+    # ---- Phase C: operators ---------------------------------------------
+    vt2 = build_volume_tables(space, 2)   # species spatial, order 2
+    vt5 = build_volume_tables(space, 5)   # species mass, order 5
+    vt_phi = ctx_phi.vt
+    if device_mesh is not None:
+        from ..parallel.sharding import shard_volume_tables
+        vt2 = shard_volume_tables(vt2, device_mesh)
+        vt5 = shard_volume_tables(vt5, device_mesh)
+        vt_phi = shard_volume_tables(vt_phi, device_mesh)
+    ndof = space.ndof
+
+    M_el = V.mass_jacobian_el(vt5, 1.0, False, pi)   # planar (ref behavior)
+    A_phi_el = V.poisson_jacobian_el(vt_phi, sys.cylindrical, pi)
+    diag_phi = FA.constrained_diagonal(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
+    op_phi = FA.make_constrained_operator(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
+
+    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
+    a_tab = [[float(v) for v in row] for row in tab.A]
+    b_tab = [[float(v) for v in row] for row in tab.B]
+    stages = tab.stages
+
+    def _species_onestep(K_el, u_old, free, g):
+        """All DIRK stages for one species (linear stage solves, tol 1e-5
+        per reference :383-386)."""
+
+        def mass(u):
+            return FA.spmv(M_el, u, vt5.dofmap, ndof)
+
+        def alpha(u):
+            return FA.spmv(K_el, u, vt2.dofmap, ndof)
+
+        levels = [u_old]
+        iters = jnp.int32(0)
+        for i in range(stages):
+            a_ii, b_ii = a_tab[i][i + 1], b_tab[i][i + 1]
+            hist = jnp.zeros(ndof)
+            for j in range(i + 1):
+                if a_tab[i][j] != 0.0:
+                    hist = hist + a_tab[i][j] * mass(levels[j])
+                if b_tab[i][j] != 0.0:
+                    hist = hist + dt * b_tab[i][j] * alpha(levels[j])
+            guess = jnp.where(free, levels[-1], g)
+            r = hist + a_ii * mass(guess) + dt * b_ii * alpha(guess)
+            r = jnp.where(free, r, 0.0)
+
+            def op(x, K_el=K_el, a_ii=a_ii, b_ii=b_ii):
+                xi = jnp.where(free, x, 0.0)
+                y = a_ii * FA.spmv(M_el, xi, vt5.dofmap, ndof) \
+                    + (dt * b_ii) * FA.spmv(K_el, xi, vt2.dofmap, ndof)
+                return jnp.where(free, y, x)
+
+            dg = a_ii * FA.diagonal(M_el, vt5.dofmap, ndof) \
+                + (dt * b_ii) * FA.diagonal(K_el, vt2.dofmap, ndof)
+            dg = jnp.where(free, dg, 1.0)
+            res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5)
+            levels.append(guess - res.x)
+            iters = iters + res.iterations
+        return levels[-1], iters
+
+    def _species_step(uphi_, ucp_, ucm_):
+        gphi = interp_grad(uphi_[vt2.dofmap], vt2.gradphi)
+        K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
+        K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
+        ucp_new, it1 = _species_onestep(K_cp, ucp_, free_cp, g_cp)
+        ucm_new, it2 = _species_onestep(K_cm, ucm_, free_cm, g_cm)
+        return ucp_new, ucm_new, it1 + it2
+
+    def _poisson_solve(uphi_, ucp_, ucm_):
+        """SLP apply at tolerance 1e-10 (reference :349-350)."""
+        ue = uphi_[vt_phi.dofmap]
+        r_el = V.poisson_residual_el(ue, ucp_[vt_phi.dofmap], ucm_[vt_phi.dofmap],
+                                     vt_phi, sys.l_b, sys.cylindrical, pi)
+        r = FA.scatter_add(r_el, vt_phi.dofmap, ndof) + ctx_phi.flux_vector
+        r = ctx_phi.constrain(r)
+        res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10)
+        return uphi_ - res.x, res.iterations
+
+    def _fused_step(uphi_, ucp_, ucm_):
+        ucp_, ucm_, _ = _species_step(uphi_, ucp_, ucm_)
+        uphi_, _ = _poisson_solve(uphi_, ucp_, ucm_)
+        return uphi_, ucp_, ucm_
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def scan_steps(state, n_steps: int):
+        """n_steps fused steps as one lax.scan (potentialUpdateFreq == 1)."""
+
+        def body(carry, _):
+            return _fused_step(*carry), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return PnpSystem(
+        sys=sys, space=space, pb=pb, pb_newton_iterations=pb_iters,
+        uphi0=uphi0, ucp0=ucp0, ucm0=ucm0,
+        species_step=jax.jit(_species_step),
+        poisson_solve=jax.jit(_poisson_solve),
+        fused_step=jax.jit(_fused_step),
+        scan_steps=scan_steps,
+        ionflux_tables=build_ionflux_tables(space, sys.cylindrical, pi,
+                                            sys.n_surfaces),
+        dt=dt)
+
+
+@dataclasses.dataclass
 class PnpRunResult:
     phi: Any
     cp: Any
@@ -74,101 +229,16 @@ def run_instationary_pnp_from_pb(
     n_steps: Optional[int] = None,
     output_dir: Optional[str] = None,
     tableau: Optional[Tableau] = None,
+    device_mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_freq: int = 0,
     resume: bool = False,
     flux_convention: str = "reference",
 ) -> PnpRunResult:
-    mesh = space.mesh
     n_steps = sys.nSteps if n_steps is None else n_steps
-    tab = tableau if tableau is not None else alexander2()
-    dt = sys.tau
-    pi = sys.pi
-
-    # ---- Phase A: PB bootstrap ------------------------------------------
-    pb_res = solve_pb(sys, space)
-    pb = pb_res.u
-
-    # ---- Phase B: spaces, constraints, initial fields -------------------
-    ctx_phi = make_scalar_context(sys, space, component=0, quad_order=3)
-    free_cp = jnp.asarray(C.free_dof_mask(space, sys, 1))
-    free_cm = jnp.asarray(C.free_dof_mask(space, sys, 2))
-    g_cp = jnp.asarray(C.dirichlet_dof_values(space, sys, 1))
-    g_cm = jnp.asarray(C.dirichlet_dof_values(space, sys, 2))
-
-    uphi = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 0, np.asarray(pb)))
-    ucp = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 1, np.asarray(pb)))
-    ucm = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 2, np.asarray(pb)))
-
-    # ---- Phase C: operators & solvers -----------------------------------
-    vt2 = build_volume_tables(space, 2)   # species spatial, order 2
-    vt5 = build_volume_tables(space, 5)   # species mass, order 5
-    dofmap = ctx_phi.dofmap
-    ndof = space.ndof
-
-    # species mass blocks: planar metric (reference behavior)
-    M_el = V.mass_jacobian_el(vt5, 1.0, False, pi)
-    A_phi_el = V.poisson_jacobian_el(ctx_phi.vt, sys.cylindrical, pi)
-    diag_phi = FA.constrained_diagonal(A_phi_el, dofmap, ndof, ctx_phi.free)
-    op_phi = FA.make_constrained_operator(A_phi_el, dofmap, ndof, ctx_phi.free)
-
-    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
-    a_tab = [[float(v) for v in row] for row in tab.A]
-    b_tab = [[float(v) for v in row] for row in tab.B]
-    stages = tab.stages
-
-    def _species_onestep(K_el, u_old, free, g):
-        """All DIRK stages for one species (linear stage solves)."""
-
-        def mass(u):
-            return FA.spmv(M_el, u, dofmap, ndof)
-
-        def alpha(u):
-            return FA.spmv(K_el, u, dofmap, ndof)
-
-        levels = [u_old]
-        iters = jnp.int32(0)
-        for i in range(stages):
-            a_ii, b_ii = a_tab[i][i + 1], b_tab[i][i + 1]
-            hist = jnp.zeros(ndof)
-            for j in range(i + 1):
-                if a_tab[i][j] != 0.0:
-                    hist = hist + a_tab[i][j] * mass(levels[j])
-                if b_tab[i][j] != 0.0:
-                    hist = hist + dt * b_tab[i][j] * alpha(levels[j])
-            guess = jnp.where(free, levels[-1], g)
-            A_el = a_ii * M_el + (dt * b_ii) * K_el
-            r = hist + a_ii * mass(guess) + dt * b_ii * alpha(guess)
-            r = jnp.where(free, r, 0.0)
-            op = FA.make_constrained_operator(A_el, dofmap, ndof, free)
-            dg = FA.constrained_diagonal(A_el, dofmap, ndof, free)
-            res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5)
-            levels.append(guess - res.x)
-            iters = iters + res.iterations
-        return levels[-1], iters
-
-    @jax.jit
-    def species_step(uphi_, ucp_, ucm_):
-        gphi = interp_grad(uphi_[dofmap], vt2.gradphi)
-        K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
-        K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
-        ucp_new, it1 = _species_onestep(K_cp, ucp_, free_cp, g_cp)
-        ucm_new, it2 = _species_onestep(K_cm, ucm_, free_cm, g_cm)
-        return ucp_new, ucm_new, it1 + it2
-
-    @jax.jit
-    def poisson_solve(uphi_, ucp_, ucm_):
-        """SLP apply at tolerance 1e-10 (reference :349-350)."""
-        ue = uphi_[dofmap]
-        r_el = V.poisson_residual_el(ue, ucp_[dofmap], ucm_[dofmap],
-                                     ctx_phi.vt, sys.l_b, sys.cylindrical, pi)
-        r = ctx_phi.scatter(r_el) + ctx_phi.flux_vector
-        r = ctx_phi.constrain(r)
-        res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10)
-        return uphi_ - res.x, res.iterations
-
-    ionflux_tables = build_ionflux_tables(space, sys.cylindrical, pi,
-                                          sys.n_surfaces)
+    system = build_pnp_system(sys, space, tableau, device_mesh)
+    uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
+    dt = system.dt
 
     # ---- Phase D: time loop ---------------------------------------------
     time = 0.0
@@ -192,13 +262,13 @@ def run_instationary_pnp_from_pb(
 
     history = []
     for i in range(start_step, n_steps):
-        ucp, ucm, _ = species_step(uphi, ucp, ucm)
+        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
         time += dt
         if i % sys.potentialUpdateFreq == 0:
-            uphi, _ = poisson_solve(uphi, ucp, ucm)
+            uphi, _ = system.poisson_solve(uphi, ucp, ucm)
         if i % sys.outputFreq == 0:
             output_counter += 1
-            ip, im = calc_ion_flux(ionflux_tables, uphi, ucp, ucm,
+            ip, im = calc_ion_flux(system.ionflux_tables, uphi, ucp, ucm,
                                    convention=flux_convention)
             history.append((time, np.asarray(ip), np.asarray(im)))
             if output_dir:
@@ -213,10 +283,10 @@ def run_instationary_pnp_from_pb(
         if checkpoint_path and checkpoint_freq and (i + 1) % checkpoint_freq == 0:
             save_checkpoint(checkpoint_path, sys, i + 1, time, uphi, ucp, ucm)
 
-    uphi, _ = poisson_solve(uphi, ucp, ucm)   # final solve (reference :454)
+    uphi, _ = system.poisson_solve(uphi, ucp, ucm)  # final solve (ref :454)
     if current_writer:
         current_writer.close()
     return PnpRunResult(
         phi=uphi, cp=ucp, cm=ucm, time=time, steps=n_steps,
-        pb_newton_iterations=pb_res.iterations,
+        pb_newton_iterations=system.pb_newton_iterations,
         current_history=history, space=space)

@@ -1,0 +1,104 @@
+"""Monolithic stationary PNP: 3-field Newton solve (phi, c+, c-).
+
+Parity: reference ``stationary_pnp`` (src/stationary_pnp.hh:92-365) and the
+PB-initialized variant ``stationary_pnp_from_pb``
+(src/stationary_pnp_from_pb.hh:93-440, call stack SURVEY.md 3.2):
+lexicographic composite space, BCExtension initial interpolation (Gibbs
+c0*exp(-+phi_PB) when bootstrapped from PB, phi_PB = 0 otherwise), full
+3-field Newton on the coupled residual, BiCGSTAB linear solves
+(the reference hardcodes NOVLP_BCGS_NOPREC at
+src/stationary_pnp_from_pb.hh:329-331; CG variants are remapped to
+BiCGSTAB here because the coupled Jacobian is nonsymmetric).
+
+Note these reference files are behavioral specs that do not compile as-is
+against datawriter.hh (SURVEY.md section 2.1); the workload surface is
+reproduced, their dead writer calls are not.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Sysparams
+from ..fem import assembly as FA
+from ..fem import constraints as C
+from ..fem.space import FunctionSpace
+from ..fem.geometry import build_volume_tables, build_boundary_tables
+from ..operators import pnp as P
+from ..operators import boundary as OB
+from ..solvers.newton import newton_solve, NewtonParams, NewtonResult
+from ..solvers.linear_problem import make_krylov_solver
+from .pb import solve_pb
+
+_MONOLITHIC_SOLVER = {
+    # nonsymmetric system: CG variants fall back to their BiCGSTAB peers
+    "BCGS_SSORk": "BCGS_SSORk", "BCGS_NOPREC": "BCGS_NOPREC",
+    "CG_NOPREC": "BCGS_NOPREC", "CG_Jacobi": "BCGS_SSORk",
+    "CG_AMG_SSOR": "BCGS_SSORk",
+}
+
+
+def composite_state(sys: Sysparams, space: FunctionSpace, pb_dofs):
+    """Initial composite vector + masks + Dirichlet values (3 * ndof)."""
+    u0 = np.concatenate([
+        C.interpolate_with_pb_fallback(space, sys, c, np.asarray(pb_dofs))
+        for c in range(3)])
+    free = np.concatenate([C.free_dof_mask(space, sys, c) for c in range(3)])
+    g = np.concatenate([C.dirichlet_dof_values(space, sys, c) for c in range(3)])
+    return jnp.asarray(u0), jnp.asarray(free), jnp.asarray(g)
+
+
+def run_stationary_pnp(sys: Sysparams, space: FunctionSpace,
+                       from_pb: bool = True,
+                       quad_order: int = 3) -> NewtonResult:
+    pb = solve_pb(sys, space).u if from_pb else jnp.zeros(space.ndof)
+    u0, free, _ = composite_state(sys, space, pb)
+
+    vt = build_volume_tables(space, quad_order)
+    bt = build_boundary_tables(space, quad_order,
+                               C.flux_table(sys, space.mesh),
+                               C.neumann_flags(sys, space.mesh))
+    ndof = space.ndof
+    cmap = P.composite_dofmap(vt.dofmap, ndof)
+
+    # per-component Neumann flux vectors at their composite offsets
+    flux = jnp.zeros(3 * ndof)
+    for comp in range(3):
+        r_el = OB.flux_residual_el(bt, comp, sys.cylindrical, sys.pi)
+        flux = flux.at[(bt.dofmap + comp * ndof).ravel()].add(r_el.ravel())
+
+    @jax.jit
+    def residual(u):
+        r_el = P.pnp_residual_el(u[cmap], vt, sys.l_b, sys.cylindrical, sys.pi)
+        r = FA.scatter_add(r_el, cmap, 3 * ndof) + flux
+        return jnp.where(free, r, 0.0)
+
+    krylov = make_krylov_solver(_MONOLITHIC_SOLVER[sys.linearSolver],
+                                sys.linearSolverIterations)
+
+    @jax.jit
+    def linear_solve(u, r, reduction):
+        A_el = P.pnp_jacobian_el(u[cmap], vt, sys.l_b, sys.cylindrical, sys.pi)
+        op = FA.make_constrained_operator(A_el, cmap, 3 * ndof, free)
+        diag = FA.constrained_diagonal(A_el, cmap, 3 * ndof, free)
+        res = krylov(op, jnp.where(free, r, 0.0), jnp.zeros_like(r),
+                     diag, reduction)
+        return res.x, res.iterations
+
+    params = NewtonParams(
+        reduction=sys.newtonReduction,
+        min_linear_reduction=sys.newtonMinLinearReduction,
+        max_iterations=int(sys.newtonMaxIterations),
+        line_search_max=int(sys.newtonLineSearchMaxIteration),
+        verbosity=sys.verbosity,
+    )
+    return newton_solve(residual, linear_solve, u0, params)
+
+
+def split_fields(space: FunctionSpace, u):
+    n = space.ndof
+    return u[:n], u[n:2 * n], u[2 * n:]
