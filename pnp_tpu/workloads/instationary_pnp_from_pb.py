@@ -130,7 +130,8 @@ def build_pnp_system(
 
     def _species_onestep(K_el, u_old, free, g):
         """All DIRK stages for one species (linear stage solves, tol 1e-5
-        per reference :383-386)."""
+        per reference :383-386). vt2/vt5 share the space's dofmap, so the
+        stage matrix fuses into a single element block batch."""
 
         def mass(u):
             return FA.spmv(M_el, u, vt5.dofmap, ndof)
@@ -151,16 +152,9 @@ def build_pnp_system(
             guess = jnp.where(free, levels[-1], g)
             r = hist + a_ii * mass(guess) + dt * b_ii * alpha(guess)
             r = jnp.where(free, r, 0.0)
-
-            def op(x, K_el=K_el, a_ii=a_ii, b_ii=b_ii):
-                xi = jnp.where(free, x, 0.0)
-                y = a_ii * FA.spmv(M_el, xi, vt5.dofmap, ndof) \
-                    + (dt * b_ii) * FA.spmv(K_el, xi, vt2.dofmap, ndof)
-                return jnp.where(free, y, x)
-
-            dg = a_ii * FA.diagonal(M_el, vt5.dofmap, ndof) \
-                + (dt * b_ii) * FA.diagonal(K_el, vt2.dofmap, ndof)
-            dg = jnp.where(free, dg, 1.0)
+            A_el = a_ii * M_el + (dt * b_ii) * K_el
+            op = FA.make_constrained_operator(A_el, vt2.dofmap, ndof, free)
+            dg = FA.constrained_diagonal(A_el, vt2.dofmap, ndof, free)
             res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5)
             levels.append(guess - res.x)
             iters = iters + res.iterations

@@ -43,7 +43,12 @@ def make_pb_residual(ctx: ScalarContext):
 
 def make_pb_linear_solver(ctx: ScalarContext):
     sys = ctx.sys
-    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
+    amg_ctx = None
+    if sys.linearSolver == "CG_AMG_SSOR":
+        from ..solvers.amg import make_amg_context
+        amg_ctx = make_amg_context(ctx.dofmap, ctx.ndof, ctx.free)
+    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations,
+                                amg_ctx=amg_ctx)
 
     @jax.jit
     def solve(u, r, reduction):
@@ -51,7 +56,8 @@ def make_pb_linear_solver(ctx: ScalarContext):
         A_el = V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical, sys.pi)
         op = A.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
         diag = A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
-        res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), diag, reduction)
+        res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), diag, reduction,
+                     A_el=A_el)
         return res.x, res.iterations
 
     return solve
