@@ -15,14 +15,11 @@ Parity:
 
 from __future__ import annotations
 
-import base64
-import struct
 from typing import Dict
 
 import numpy as np
 
 from ..fem.space import FunctionSpace
-from ..operators.common import interp, interp_grad
 
 
 def write_dat(space: FunctionSpace, u, filename: str) -> None:
@@ -97,3 +94,33 @@ class CurrentWriter:
 
     def close(self) -> None:
         self.f.close()
+
+
+def write_pnp_dat(space: FunctionSpace, phi, cp, cm, filename: str) -> None:
+    """Composite-field element-center writer.
+
+    Parity: ``PNPDataWriter`` (src/pnp_datawriter.hh:23-244) — per element:
+    center, phi, c+, c-, and the three gradients. The reference class is
+    dead code (ctor name mismatch, colliding header guard, SURVEY.md
+    quirks); this is the working equivalent. Multi-rank filename prefixes
+    are unnecessary here (output is globally complete by construction).
+    """
+    from ..fem.geometry import element_jacobians
+    mesh = space.mesh
+    centers = mesh.nodes[mesh.tris].mean(axis=1)
+    ref_c = np.array([[1 / 3, 1 / 3]])
+    shape_c = space.ref.values(ref_c)[0]
+    gref_c = space.ref.gradients(ref_c)[0]
+    _, _, jinv_t = element_jacobians(mesh)
+    grad_c = np.einsum("eab,ib->eia", jinv_t, gref_c)
+    with open(filename, "w") as f:
+        phi_e = np.asarray(phi)[space.dofmap]
+        cp_e = np.asarray(cp)[space.dofmap]
+        cm_e = np.asarray(cm)[space.dofmap]
+        vals = [phi_e @ shape_c, cp_e @ shape_c, cm_e @ shape_c]
+        grads = [np.einsum("ei,eia->ea", u, grad_c) for u in (phi_e, cp_e, cm_e)]
+        for e in range(mesh.num_tris):
+            cols = [f"{centers[e, 0]:.5e} {centers[e, 1]:.5e}"]
+            cols += [f"{v[e]:.5e}" for v in vals]
+            cols += [f"{g[e, 0]:.5e} {g[e, 1]:.5e}" for g in grads]
+            f.write("\t".join(cols) + "\n")

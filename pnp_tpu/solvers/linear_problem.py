@@ -42,27 +42,32 @@ def make_krylov_solver(name: str, maxiter: int, ssor_k: int = 3,
                      Chebyshev-Jacobi otherwise)
     """
     if name == "BCGS_NOPREC":
-        def solve(op, b, x0, diag, reduction, A_el=None):
+        def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
             return bicgstab(op, b, x0, None, reduction, maxiter)
     elif name == "CG_NOPREC":
-        def solve(op, b, x0, diag, reduction, A_el=None):
+        def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
             return cg(op, b, x0, None, reduction, maxiter)
     elif name == "CG_Jacobi":
-        def solve(op, b, x0, diag, reduction, A_el=None):
+        def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
             return cg(op, b, x0, jacobi_precond(diag), reduction, maxiter)
     elif name == "BCGS_SSORk":
-        def solve(op, b, x0, diag, reduction, A_el=None):
-            lam = estimate_dinv_spectral_radius(op, diag, b + 1e-30)
+        def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
+            # lam: pass a precomputed lambda_max(D^-1 A) estimate to skip
+            # the power iteration (cuts 12 SpMVs out of the program; the
+            # estimate is stable across Newton/time steps)
+            if lam is None:
+                lam = estimate_dinv_spectral_radius(op, diag, b + 1e-30)
             M = chebyshev_jacobi_precond(op, diag, lam, degree=ssor_k)
             return bicgstab(op, b, x0, M, reduction, maxiter)
     elif name == "CG_AMG_SSOR":
         from .amg import two_level_precond
 
-        def solve(op, b, x0, diag, reduction, A_el=None):
+        def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
             if amg_ctx is not None and A_el is not None:
                 M = two_level_precond(A_el, amg_ctx, diag)
             else:
-                lam = estimate_dinv_spectral_radius(op, diag, b + 1e-30)
+                if lam is None:
+                    lam = estimate_dinv_spectral_radius(op, diag, b + 1e-30)
                 M = chebyshev_jacobi_precond(op, diag, lam, degree=ssor_k)
             return cg(op, b, x0, M, reduction, maxiter)
     else:

@@ -128,6 +128,22 @@ def build_pnp_system(
     b_tab = [[float(v) for v in row] for row in tab.B]
     stages = tab.stages
 
+    # precompute lambda_max(D^-1 A) estimates once (stable across steps;
+    # keeps the per-step programs free of the 12-SpMV power iteration)
+    from ..solvers.precond import estimate_dinv_spectral_radius
+    _probe = jnp.sin(jnp.arange(ndof) * 0.7) + 1.1
+    lam_phi = estimate_dinv_spectral_radius(op_phi, diag_phi, _probe)
+    _gphi0 = interp_grad(uphi0[vt2.dofmap], vt2.gradphi)
+    _K0 = V.drift_diffusion_jacobian_el(_gphi0, vt2, 1.0, False, pi)
+    _A0 = float(a_tab[0][1]) * M_el + (dt * float(b_tab[0][1])) * _K0
+    _op0 = FA.make_constrained_operator(_A0, vt2.dofmap, ndof, free_cp)
+    _dg0 = FA.constrained_diagonal(_A0, vt2.dofmap, ndof, free_cp)
+    lam_species = estimate_dinv_spectral_radius(_op0, _dg0, _probe)
+    # safety headroom: the estimate is reused for a matrix that drifts
+    lam_phi = lam_phi * 1.2
+    lam_species = lam_species * 1.2
+    del _probe, _gphi0, _K0, _A0, _op0, _dg0
+
     def _species_onestep(K_el, u_old, free, g):
         """All DIRK stages for one species (linear stage solves, tol 1e-5
         per reference :383-386). vt2/vt5 share the space's dofmap, so the
@@ -155,7 +171,8 @@ def build_pnp_system(
             A_el = a_ii * M_el + (dt * b_ii) * K_el
             op = FA.make_constrained_operator(A_el, vt2.dofmap, ndof, free)
             dg = FA.constrained_diagonal(A_el, vt2.dofmap, ndof, free)
-            res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5)
+            res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5,
+                         lam=lam_species)
             levels.append(guess - res.x)
             iters = iters + res.iterations
         return levels[-1], iters
@@ -175,7 +192,8 @@ def build_pnp_system(
                                      vt_phi, sys.l_b, sys.cylindrical, pi)
         r = FA.scatter_add(r_el, vt_phi.dofmap, ndof) + ctx_phi.flux_vector
         r = ctx_phi.constrain(r)
-        res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10)
+        res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10,
+                     lam=lam_phi)
         return uphi_ - res.x, res.iterations
 
     def _fused_step(uphi_, ucp_, ucm_):
