@@ -3,11 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: assembled-and-solved DOFs/s on one chip for the full production
-pipeline step (species drift-diffusion reassembly + two Alexander2 DIRK
-stage solves per species + decoupled Poisson SLP re-solve at 1e-10), i.e.
-3 * ndof dofs advanced per step. The reference publishes no numbers
-(BASELINE.md) so vs_baseline is measured against the previous round's
-recorded value in BENCH_BASELINE.json when present, else 1.0.
+pipeline step (drift-diffusion reassembly + batched two-species Alexander2
+DIRK stage solves at 1e-5 + decoupled Poisson SLP re-solve at 1e-10), i.e.
+3 * ndof field dofs advanced per step, after a real PB Newton bootstrap.
+The reference publishes no numbers (BASELINE.md), so vs_baseline compares
+against the previous round's value recorded in BENCH_BASELINE.json when
+present, else 1.0.
 """
 
 import json
@@ -17,10 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
 
-
-def main():
+def run(n_meas: int = 10):
     import jax
     import jax.numpy as jnp
     from pnp_tpu.config import read_config
@@ -29,24 +28,47 @@ def main():
     from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
 
     cfg = read_config("/root/reference/test/pore_pnp/pore.cfg")
+    # keep single-program device time bounded (watchdog safety); the
+    # equilibrium-bootstrapped solves converge in O(100) iterations
+    cfg.linearSolverIterations = min(cfg.linearSolverIterations, 3000)
     mesh = read_gmsh(cfg.meshfile)
     space = FunctionSpace(mesh, 1)
-    system = build_pnp_system(cfg, space, pb_field=jnp.zeros(space.ndof))
+    system = build_pnp_system(cfg, space)   # includes the PB Newton solve
 
-    state = (system.uphi0, system.ucp0, system.ucm0)
-    n_warm, n_meas = 3, 20
+    uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
+
+    def step(uphi, ucp, ucm):
+        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
+        uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+        return uphi, ucp, ucm
 
     # warmup/compile
-    state = system.scan_steps(state, n_warm)
-    jax.block_until_ready(state)
+    for _ in range(2):
+        uphi, ucp, ucm = step(uphi, ucp, ucm)
+    jax.block_until_ready(uphi)
 
     t0 = time.perf_counter()
-    state = system.scan_steps(state, n_meas)
-    jax.block_until_ready(state)
+    for _ in range(n_meas):
+        uphi, ucp, ucm = step(uphi, ucp, ucm)
+    jax.block_until_ready(uphi)
     elapsed = time.perf_counter() - t0
+    assert bool(jnp.isfinite(uphi).all()), "non-finite state"
+    return 3 * space.ndof * n_meas / elapsed
 
-    dofs_per_step = 3 * space.ndof
-    value = dofs_per_step * n_meas / elapsed
+
+def main():
+    value = None
+    for attempt in range(2):
+        try:
+            value = run()
+            break
+        except Exception as e:
+            sys.stderr.write(f"bench attempt {attempt} failed: {e}\n")
+            time.sleep(5)
+    if value is None:
+        print(json.dumps({"metric": "pore_pnp_production_step_dofs_per_s_per_chip",
+                          "value": 0.0, "unit": "DOF/s", "vs_baseline": 0.0}))
+        return
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")

@@ -48,6 +48,31 @@ def spmv(A_el: Array, x: Array, dofmap: Array, ndof: int) -> Array:
     return scatter_add(ye, dofmap, ndof)
 
 
+def spmv_batched(A_el: Array, x: Array, dofmap: Array, ndof: int) -> Array:
+    """Batched matrix-free SpMV: S independent systems in one program.
+
+    A_el: (S, E, n, n); x: (S, ndof). One gather/einsum/scatter for all
+    systems — on TPU each op in a solver loop costs fixed latency, so
+    stacking systems divides the per-system cost by S.
+    """
+    S = x.shape[0]
+    xe = x[:, dofmap]                               # (S, E, n)
+    ye = jnp.einsum("seij,sej->sei", A_el, xe)
+    return jnp.zeros((S, ndof), dtype=x.dtype).at[:, dofmap.ravel()].add(
+        ye.reshape(S, -1), mode="drop")
+
+
+def make_constrained_operator_batched(A_el, dofmap, ndof: int, free):
+    """Batched variant of make_constrained_operator: free is (S, ndof)."""
+
+    def op(x: Array) -> Array:
+        xi = jnp.where(free, x, 0.0)
+        y = spmv_batched(A_el, xi, dofmap, ndof)
+        return jnp.where(free, y, x)
+
+    return op
+
+
 def diagonal(A_el: Array, dofmap: Array, ndof: int) -> Array:
     """Global matrix diagonal from element blocks (for Jacobi smoothing)."""
     d = jnp.einsum("eii->ei", A_el)

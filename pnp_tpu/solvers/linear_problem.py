@@ -50,6 +50,12 @@ def make_krylov_solver(name: str, maxiter: int, ssor_k: int = 3,
     elif name == "CG_Jacobi":
         def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
             return cg(op, b, x0, jacobi_precond(diag), reduction, maxiter)
+    elif name == "BCGS_Jacobi":
+        # rebuild-only variant: diagonal preconditioning is spectrum-shape
+        # agnostic, the right default for strongly nonsymmetric coupled
+        # Jacobians where the SPD Chebyshev interval assumption breaks
+        def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
+            return bicgstab(op, b, x0, jacobi_precond(diag), reduction, maxiter)
     elif name == "BCGS_SSORk":
         def solve(op, b, x0, diag, reduction, A_el=None, lam=None):
             # lam: pass a precomputed lambda_max(D^-1 A) estimate to skip

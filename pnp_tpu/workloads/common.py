@@ -66,8 +66,16 @@ def make_scalar_context(
     ``flux_cylindrical`` controls the axisymmetric weight on the Neumann
     boundary term (the reference applies it in PB/Poisson/PNP boundary
     integrals, src/pb_operator.hh:174-176); defaults to ``sys.cylindrical``.
+
+    The requested quadrature order is raised to 2*degree so higher-order
+    spaces are never under-integrated (the reference hard-codes intorder=3
+    for every PDEGREE, which silently degrades its P3 variant — a
+    documented deviation, not replicated).
     """
     mesh = space.mesh
+    quad_order = max(quad_order, 2 * space.degree)
+    if boundary_quad_order is None:
+        boundary_quad_order = quad_order
     vt = build_volume_tables(space, quad_order)
     bt = build_boundary_tables(
         space,

@@ -108,8 +108,10 @@ def build_pnp_system(
     ucm0 = jnp.asarray(C.interpolate_with_pb_fallback(space, sys, 2, np.asarray(pb)))
 
     # ---- Phase C: operators ---------------------------------------------
-    vt2 = build_volume_tables(space, 2)   # species spatial, order 2
-    vt5 = build_volume_tables(space, 5)   # species mass, order 5
+    # reference orders 2 (species spatial) / 5 (species mass), raised with
+    # the space degree so P2/P3 are never under-integrated
+    vt2 = build_volume_tables(space, max(2, 2 * space.degree))
+    vt5 = build_volume_tables(space, max(5, 2 * space.degree + 1))
     vt_phi = ctx_phi.vt
     if device_mesh is not None:
         from ..parallel.sharding import shard_volume_tables
@@ -118,59 +120,77 @@ def build_pnp_system(
         vt_phi = shard_volume_tables(vt_phi, device_mesh)
     ndof = space.ndof
 
-    M_el = V.mass_jacobian_el(vt5, 1.0, False, pi)   # planar (ref behavior)
-    A_phi_el = V.poisson_jacobian_el(vt_phi, sys.cylindrical, pi)
-    diag_phi = FA.constrained_diagonal(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
-    op_phi = FA.make_constrained_operator(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
-
     krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
     a_tab = [[float(v) for v in row] for row in tab.A]
     b_tab = [[float(v) for v in row] for row in tab.B]
     stages = tab.stages
 
-    # precompute lambda_max(D^-1 A) estimates once (stable across steps;
-    # keeps the per-step programs free of the 12-SpMV power iteration)
+    # one jitted setup program: element matrices, diagonals, and
+    # lambda_max(D^-1 A) power-iteration estimates (the axon TPU backend
+    # pays a compile round-trip per eager op — fuse the whole setup)
     from ..solvers.precond import estimate_dinv_spectral_radius
-    _probe = jnp.sin(jnp.arange(ndof) * 0.7) + 1.1
-    lam_phi = estimate_dinv_spectral_radius(op_phi, diag_phi, _probe)
-    _gphi0 = interp_grad(uphi0[vt2.dofmap], vt2.gradphi)
-    _K0 = V.drift_diffusion_jacobian_el(_gphi0, vt2, 1.0, False, pi)
-    _A0 = float(a_tab[0][1]) * M_el + (dt * float(b_tab[0][1])) * _K0
-    _op0 = FA.make_constrained_operator(_A0, vt2.dofmap, ndof, free_cp)
-    _dg0 = FA.constrained_diagonal(_A0, vt2.dofmap, ndof, free_cp)
-    lam_species = estimate_dinv_spectral_radius(_op0, _dg0, _probe)
-    # safety headroom: the estimate is reused for a matrix that drifts
-    lam_phi = lam_phi * 1.2
-    lam_species = lam_species * 1.2
-    del _probe, _gphi0, _K0, _A0, _op0, _dg0
 
-    def _species_onestep(K_el, u_old, free, g):
-        """All DIRK stages for one species (linear stage solves, tol 1e-5
-        per reference :383-386). vt2/vt5 share the space's dofmap, so the
-        stage matrix fuses into a single element block batch."""
+    @jax.jit
+    def _setup(uphi_init):
+        M = V.mass_jacobian_el(vt5, 1.0, False, pi)   # planar (ref behavior)
+        A_phi = V.poisson_jacobian_el(vt_phi, sys.cylindrical, pi)
+        d_phi = FA.constrained_diagonal(A_phi, vt_phi.dofmap, ndof, ctx_phi.free)
+        o_phi = FA.make_constrained_operator(A_phi, vt_phi.dofmap, ndof, ctx_phi.free)
+        probe = jnp.sin(jnp.arange(ndof) * 0.7) + 1.1
+        l_phi = estimate_dinv_spectral_radius(o_phi, d_phi, probe)
+        gphi0 = interp_grad(uphi_init[vt2.dofmap], vt2.gradphi)
+        K0 = V.drift_diffusion_jacobian_el(gphi0, vt2, 1.0, False, pi)
+        A0 = float(a_tab[0][1]) * M + (dt * float(b_tab[0][1])) * K0
+        o0 = FA.make_constrained_operator(A0, vt2.dofmap, ndof, free_cp)
+        d0 = FA.constrained_diagonal(A0, vt2.dofmap, ndof, free_cp)
+        l_sp = estimate_dinv_spectral_radius(o0, d0, probe)
+        # safety headroom: estimates are reused as the matrices drift
+        return M, A_phi, d_phi, l_phi * 1.2, l_sp * 1.2
+
+    M_el, A_phi_el, diag_phi, lam_phi, lam_species = _setup(uphi0)
+    op_phi = FA.make_constrained_operator(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
+
+    free_pair = jnp.stack([free_cp, free_cm])      # (2, ndof)
+    g_pair = jnp.stack([g_cp, g_cm])
+
+    def _species_pair_onestep(K_pair, u_old):
+        """All DIRK stages for BOTH species as one batched system (2, ndof).
+
+        Linear stage solves at tol 1e-5 per reference :383-386. Batching
+        c+/c- halves the solver-loop latency on TPU (each loop-body op has
+        fixed ~0.3 ms cost regardless of the stacked size)."""
 
         def mass(u):
-            return FA.spmv(M_el, u, vt5.dofmap, ndof)
+            return jnp.einsum("eij,sej->sei", M_el, u[:, vt5.dofmap])
 
-        def alpha(u):
-            return FA.spmv(K_el, u, vt2.dofmap, ndof)
+        def mass_scatter(u):
+            ye = mass(u)
+            return jnp.zeros((2, ndof)).at[:, vt5.dofmap.ravel()].add(
+                ye.reshape(2, -1))
+
+        def alpha_scatter(u):
+            return FA.spmv_batched(K_pair, u, vt2.dofmap, ndof)
 
         levels = [u_old]
         iters = jnp.int32(0)
         for i in range(stages):
             a_ii, b_ii = a_tab[i][i + 1], b_tab[i][i + 1]
-            hist = jnp.zeros(ndof)
+            hist = jnp.zeros((2, ndof))
             for j in range(i + 1):
                 if a_tab[i][j] != 0.0:
-                    hist = hist + a_tab[i][j] * mass(levels[j])
+                    hist = hist + a_tab[i][j] * mass_scatter(levels[j])
                 if b_tab[i][j] != 0.0:
-                    hist = hist + dt * b_tab[i][j] * alpha(levels[j])
-            guess = jnp.where(free, levels[-1], g)
-            r = hist + a_ii * mass(guess) + dt * b_ii * alpha(guess)
-            r = jnp.where(free, r, 0.0)
-            A_el = a_ii * M_el + (dt * b_ii) * K_el
-            op = FA.make_constrained_operator(A_el, vt2.dofmap, ndof, free)
-            dg = FA.constrained_diagonal(A_el, vt2.dofmap, ndof, free)
+                    hist = hist + dt * b_tab[i][j] * alpha_scatter(levels[j])
+            guess = jnp.where(free_pair, levels[-1], g_pair)
+            r = hist + a_ii * mass_scatter(guess) + dt * b_ii * alpha_scatter(guess)
+            r = jnp.where(free_pair, r, 0.0)
+            A_el = a_ii * M_el[None] + (dt * b_ii) * K_pair
+            op = FA.make_constrained_operator_batched(A_el, vt2.dofmap, ndof,
+                                                      free_pair)
+            dg = jnp.einsum("seii->sei", A_el)
+            dg = jnp.zeros((2, ndof)).at[:, vt2.dofmap.ravel()].add(
+                dg.reshape(2, -1))
+            dg = jnp.where(free_pair, dg, 1.0)
             res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5,
                          lam=lam_species)
             levels.append(guess - res.x)
@@ -181,9 +201,9 @@ def build_pnp_system(
         gphi = interp_grad(uphi_[vt2.dofmap], vt2.gradphi)
         K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
         K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
-        ucp_new, it1 = _species_onestep(K_cp, ucp_, free_cp, g_cp)
-        ucm_new, it2 = _species_onestep(K_cm, ucm_, free_cm, g_cm)
-        return ucp_new, ucm_new, it1 + it2
+        K_pair = jnp.stack([K_cp, K_cm])
+        out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]))
+        return out[0], out[1], iters
 
     def _poisson_solve(uphi_, ucp_, ucm_):
         """SLP apply at tolerance 1e-10 (reference :349-350)."""

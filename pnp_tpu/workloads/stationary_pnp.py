@@ -35,18 +35,36 @@ from ..solvers.linear_problem import make_krylov_solver
 from .pb import solve_pb
 
 _MONOLITHIC_SOLVER = {
-    # nonsymmetric system: CG variants fall back to their BiCGSTAB peers
-    "BCGS_SSORk": "BCGS_SSORk", "BCGS_NOPREC": "BCGS_NOPREC",
-    "CG_NOPREC": "BCGS_NOPREC", "CG_Jacobi": "BCGS_SSORk",
-    "CG_AMG_SSOR": "BCGS_SSORk",
+    # nonsymmetric coupled Jacobian: CG variants fall back to BiCGSTAB
+    # peers, and the SPD-interval Chebyshev ("SSORk") smoother falls back
+    # to plain Jacobi (valid for any spectrum shape)
+    "BCGS_SSORk": "BCGS_Jacobi", "BCGS_NOPREC": "BCGS_NOPREC",
+    "CG_NOPREC": "BCGS_NOPREC", "CG_Jacobi": "BCGS_Jacobi",
+    "CG_AMG_SSOR": "BCGS_Jacobi",
 }
 
 
-def composite_state(sys: Sysparams, space: FunctionSpace, pb_dofs):
-    """Initial composite vector + masks + Dirichlet values (3 * ndof)."""
+def composite_state(sys: Sysparams, space: FunctionSpace, pb_dofs,
+                    convention: str = "bce"):
+    """Initial composite vector + masks + Dirichlet values (3 * ndof).
+
+    ``convention="bce"`` reproduces the reference BCExtension interpolation
+    (c+- = c0 exp(-+ phi_PB), src/dirichlet_bc.hh:94-118). The monolithic
+    operator's own equilibrium is the species MIRROR of that (see
+    operators/pnp.py CONVENTION NOTE); ``convention="monolithic"`` boots
+    c+- = c0 exp(+- phi_PB) so Newton starts near its operator's root —
+    essential at large |phi| (e.g. the cylinder case, |phi| ~ 5, where the
+    bce bootstrap is e^10 away from the monolithic equilibrium).
+    """
+    pb = np.asarray(pb_dofs)
+    if convention == "monolithic":
+        pb = -pb   # mirror: swaps the exp signs in the fallback
     u0 = np.concatenate([
-        C.interpolate_with_pb_fallback(space, sys, c, np.asarray(pb_dofs))
-        for c in range(3)])
+        C.interpolate_with_pb_fallback(
+            space, sys, 0, np.asarray(pb_dofs)),  # phi keeps the true sign
+        C.interpolate_with_pb_fallback(space, sys, 1, pb),
+        C.interpolate_with_pb_fallback(space, sys, 2, pb),
+    ])
     free = np.concatenate([C.free_dof_mask(space, sys, c) for c in range(3)])
     g = np.concatenate([C.dirichlet_dof_values(space, sys, c) for c in range(3)])
     return jnp.asarray(u0), jnp.asarray(free), jnp.asarray(g)
@@ -54,10 +72,12 @@ def composite_state(sys: Sysparams, space: FunctionSpace, pb_dofs):
 
 def run_stationary_pnp(sys: Sysparams, space: FunctionSpace,
                        from_pb: bool = True,
-                       quad_order: int = 3) -> NewtonResult:
+                       quad_order: int = 3,
+                       bootstrap: str = "monolithic") -> NewtonResult:
     pb = solve_pb(sys, space).u if from_pb else jnp.zeros(space.ndof)
-    u0, free, _ = composite_state(sys, space, pb)
+    u0, free, _ = composite_state(sys, space, pb, convention=bootstrap)
 
+    quad_order = max(quad_order, 2 * space.degree)
     vt = build_volume_tables(space, quad_order)
     bt = build_boundary_tables(space, quad_order,
                                C.flux_table(sys, space.mesh),

@@ -1,0 +1,52 @@
+"""P2/P3 spaces through the full production pipeline.
+
+The reference ships PDEGREE 1..3 build variants (src/Makefile.am:53-111);
+here degree is runtime config. P2/P3 must run the whole
+instationary-PNP-from-PB driver and beat P1 accuracy on the PB problem.
+"""
+
+import numpy as np
+import pytest
+
+from pnp_tpu.config import read_config
+from pnp_tpu.fem.space import FunctionSpace
+from pnp_tpu.meshio import read_gmsh
+from pnp_tpu.meshio.structured import rect_mesh
+from pnp_tpu.workloads.pb import solve_pb
+from pnp_tpu.workloads.instationary_pnp_from_pb import run_instationary_pnp_from_pb
+from tests.test_pb_one_wall import wall_sys, dh_exact, rel_l2
+
+
+@pytest.mark.parametrize("degree", [2, 3])
+def test_pb_higher_order_accuracy(degree):
+    """P2/P3 beat P1 on the same mesh against the DH profile."""
+    j, L = 1e-3, 5.0
+    s = wall_sys(j)
+    kappa = np.sqrt(8 * np.pi * s.l_b * s.c0)
+    mesh = rect_mesh(24, 3, L, 0.5)
+    errs = {}
+    for p in (1, degree):
+        space = FunctionSpace(mesh, p)
+        res = solve_pb(s, space)
+        assert res.converged
+        want = dh_exact(space.dof_coords[:, 0], j, kappa, L)
+        errs[p] = rel_l2(np.asarray(res.u), want)
+    assert errs[degree] < errs[1] / 10.0, errs
+
+
+@pytest.mark.parametrize("degree", [2, 3])
+def test_production_driver_higher_order(ref_test_dir, degree):
+    sys = read_config(str(ref_test_dir / "one_wall_dh/one_wall.cfg"))
+    mesh = read_gmsh(sys.meshfile)
+    space = FunctionSpace(mesh, degree)
+    res = run_instationary_pnp_from_pb(sys, space, n_steps=3)
+    phi, cp, cm = map(np.asarray, (res.phi, res.cp, res.cm))
+    assert np.isfinite(phi).all() and np.isfinite(cp).all()
+    # equilibrium bootstrap stays near-stationary at higher order too
+    cp0 = sys.c0 * np.exp(-phi)
+    assert np.linalg.norm(cp - cp0) / np.linalg.norm(cp0) < 0.05
+    # edge/interior dofs participate: count matches the P_k formula
+    n_edges = (3 * mesh.num_tris + mesh.num_boundary_edges) // 2
+    expect = {2: mesh.num_nodes + n_edges,
+              3: mesh.num_nodes + 2 * n_edges + mesh.num_tris}[degree]
+    assert space.ndof == expect
