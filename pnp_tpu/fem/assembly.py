@@ -99,3 +99,22 @@ def make_constrained_operator(A_el: Array, dofmap: Array, ndof: int, free: Array
 def constrained_diagonal(A_el: Array, dofmap: Array, ndof: int, free: Array) -> Array:
     d = diagonal(A_el, dofmap, ndof)
     return jnp.where(free, d, 1.0)
+
+
+def dense_constrained_matrix(A_el: Array, dofmap: Array, ndof: int,
+                             free: Array) -> Array:
+    """Assemble the FULL (ndof, ndof) matrix with Dirichlet identity rows.
+
+    TPU-native option for constant operators on small/medium meshes: one
+    2-D scatter-add of the element blocks; the precomputed inverse turns
+    every subsequent solve into a single MXU matmul (see
+    workloads/instationary_pnp_from_pb.py dense-Poisson path). Memory is
+    ndof^2 * 8 bytes — caller gates on size.
+    """
+    A = jnp.zeros((ndof, ndof), dtype=A_el.dtype).at[
+        dofmap[:, :, None], dofmap[:, None, :]].add(A_el)
+    # Dirichlet rows/cols -> identity
+    f = free.astype(A.dtype)
+    A = A * f[:, None] * f[None, :]
+    A = A + jnp.diag(1.0 - f)
+    return A
