@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 Array = Any
@@ -99,6 +100,21 @@ def make_constrained_operator(A_el: Array, dofmap: Array, ndof: int, free: Array
 def constrained_diagonal(A_el: Array, dofmap: Array, ndof: int, free: Array) -> Array:
     d = diagonal(A_el, dofmap, ndof)
     return jnp.where(free, d, 1.0)
+
+
+def dense_constrained_matrix_batched(A_el: Array, dofmap: Array, ndof: int,
+                                     free: Array) -> Array:
+    """Batched dense assembly: A_el (S, E, n, n), free (S, ndof) ->
+    (S, ndof, ndof) with Dirichlet identity rows/cols per system."""
+    S = A_el.shape[0]
+    A = jnp.zeros((S, ndof, ndof), dtype=A_el.dtype).at[
+        jnp.arange(S)[:, None, None, None],
+        dofmap[None, :, :, None],
+        dofmap[None, :, None, :]].add(A_el)
+    f = free.astype(A.dtype)
+    A = A * f[:, :, None] * f[:, None, :]
+    A = A + jax.vmap(jnp.diag)(1.0 - f)
+    return A
 
 
 def dense_constrained_matrix(A_el: Array, dofmap: Array, ndof: int,

@@ -159,25 +159,46 @@ def build_pnp_system(
         d0 = FA.constrained_diagonal(A0, vt2.dofmap, ndof, free_cp)
         l_sp = estimate_dinv_spectral_radius(o0, d0, probe)
         # safety headroom: estimates are reused as the matrices drift
-        Ainv = None
+        # dense matrices for host-side f64 inversion (TPU XLA implements
+        # LU only for f32, so the inverses are computed with numpy and
+        # shipped back — a one-time setup cost)
+        A_dense = P_dense = None
         if use_dense_poisson:
             A_dense = FA.dense_constrained_matrix(
                 A_phi, vt_phi.dofmap, ndof, ctx_phi.free)
-            Ainv = jnp.linalg.inv(A_dense)
-        return M, A_phi, d_phi, l_phi * 1.2, l_sp * 1.2, Ainv
+        return M, A_phi, d_phi, l_phi * 1.2, l_sp * 1.2, A_dense, P_dense
 
-    M_el, A_phi_el, diag_phi, lam_phi, lam_species, Ainv_phi = _setup(uphi0)
+    _uniform_stage_diag = all(
+        a_tab[i][i + 1] == a_tab[0][1] and b_tab[i][i + 1] == b_tab[0][1]
+        for i in range(stages))
+    (M_el, A_phi_el, diag_phi, lam_phi, lam_species,
+     A_phi_dense, P_species_dense) = _setup(uphi0)
+    Ainv_phi = None
+    if A_phi_dense is not None:
+        Ainv_phi = jnp.asarray(np.linalg.inv(np.asarray(A_phi_dense)))
+    del P_species_dense
     op_phi = FA.make_constrained_operator(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
 
     free_pair = jnp.stack([free_cp, free_cm])      # (2, ndof)
     g_pair = jnp.stack([g_cp, g_cm])
+
+    use_dense_species = use_dense_poisson and _uniform_stage_diag
 
     def _species_pair_onestep(K_pair, u_old):
         """All DIRK stages for BOTH species as one batched system (2, ndof).
 
         Linear stage solves at tol 1e-5 per reference :383-386. Batching
         c+/c- halves the solver-loop latency on TPU (each loop-body op has
-        fixed ~0.3 ms cost regardless of the stacked size)."""
+        fixed ~0.3 ms cost regardless of the stacked size).
+
+        Dense path: the post-bias stage systems are advection-dominated
+        (Peclet >> 1) and defeat diagonal-class preconditioning — the
+        reference budgets 20,000 SSOR-BiCGSTAB iterations for them
+        (test/pore_pnp/pore.cfg:6). Here ONE batched f32 dense LU per step
+        (both Alexander2 stages share diagonal coefficients) + f64
+        iterative refinement replaces that (solvers/direct.py); the
+        iterative path remains for large meshes / sharded runs.
+        """
 
         def mass(u):
             return jnp.einsum("eij,sej->sei", M_el, u[:, vt5.dofmap])
@@ -189,6 +210,17 @@ def build_pnp_system(
 
         def alpha_scatter(u):
             return FA.spmv_batched(K_pair, u, vt2.dofmap, ndof)
+
+        solve_direct = None
+        if use_dense_species:
+            from ..solvers.direct import (
+                batched_lu_factor_f32, make_lu_refine_solver)
+            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+            A_dense = FA.dense_constrained_matrix_batched(
+                A_stage, vt2.dofmap, ndof, free_pair)
+            lu_piv = batched_lu_factor_f32(A_dense)
+            solve_direct = make_lu_refine_solver(
+                lu_piv, A_stage, vt2.dofmap, ndof, free_pair)
 
         levels = [u_old]
         iters = jnp.int32(0)
@@ -203,6 +235,11 @@ def build_pnp_system(
             guess = jnp.where(free_pair, levels[-1], g_pair)
             r = hist + a_ii * mass_scatter(guess) + dt * b_ii * alpha_scatter(guess)
             r = jnp.where(free_pair, r, 0.0)
+            if solve_direct is not None:
+                z, k = solve_direct(r, 1e-5)
+                levels.append(guess - z)
+                iters = iters + k
+                continue
             A_el = a_ii * M_el[None] + (dt * b_ii) * K_pair
             op = FA.make_constrained_operator_batched(A_el, vt2.dofmap, ndof,
                                                       free_pair)

@@ -45,7 +45,11 @@ def test_sharded_tables_pad_and_place(one_wall):
 def test_sharded_step_matches_single(one_wall):
     sys, space = one_wall
     pb0 = jnp.zeros(space.ndof)
-    single = build_pnp_system(sys, space, pb_field=pb0)
+    # force the iterative path on the single-device build too: the sharded
+    # build never uses the dense-LU fast path, and this test checks the
+    # collective arithmetic, not solver-path equivalence
+    single = build_pnp_system(sys, space, pb_field=pb0,
+                              dense_poisson_threshold=0)
     mesh = make_device_mesh(8)
     sharded = build_pnp_system(sys, space, device_mesh=mesh, pb_field=pb0)
 
