@@ -62,7 +62,12 @@ def make_lu_refine_solver(lu_piv, A_el: Array, dofmap: Array, ndof: int,
         def cond(state):
             x, rk, k = state
             nk = jnp.sqrt(jnp.sum(rk * rk, axis=-1, keepdims=True))
-            return jnp.any(nk > tol) & (k < maxrefine)
+            # a diverging (stale-LU) refinement produces NaN residuals;
+            # NaN comparisons are False, which would exit the loop looking
+            # "converged" — keep iterating to maxrefine instead so callers
+            # see the saturated count and refactorize
+            diverged = ~jnp.all(jnp.isfinite(nk))
+            return (jnp.any(nk > tol) | diverged) & (k < maxrefine)
 
         def body(state):
             x, rk, k = state

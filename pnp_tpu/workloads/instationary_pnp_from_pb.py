@@ -76,6 +76,9 @@ class PnpSystem:
     scan_steps: Callable         # ((uphi, ucp, ucm), n) -> (uphi', ucp', ucm')
     ionflux_tables: Any
     dt: float
+    # LU-amortized species stepping (None when the dense path is off):
+    species_factor: Any = None       # (uphi) -> lu_piv
+    species_step_reuse: Any = None   # (lu_piv, uphi, ucp, ucm) -> (...)
 
 
 def build_pnp_system(
@@ -184,7 +187,27 @@ def build_pnp_system(
 
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
-    def _species_pair_onestep(K_pair, u_old):
+    def _build_K_pair(uphi_):
+        gphi = interp_grad(uphi_[vt2.dofmap], vt2.gradphi)
+        K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
+        K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
+        return jnp.stack([K_cp, K_cm])
+
+    def _species_factor(uphi_):
+        """Batched f32 LU of the stage matrices at the current potential.
+
+        The factorization is reusable across steps as a refinement
+        preconditioner while phi drifts (refinement checks exact f64
+        residuals, so correctness never depends on LU freshness — only
+        the refinement count does; the driver refactorizes adaptively)."""
+        from ..solvers.direct import batched_lu_factor_f32
+        K_pair = _build_K_pair(uphi_)
+        A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+        A_dense = FA.dense_constrained_matrix_batched(
+            A_stage, vt2.dofmap, ndof, free_pair)
+        return batched_lu_factor_f32(A_dense)
+
+    def _species_pair_onestep(K_pair, u_old, lu_piv=None):
         """All DIRK stages for BOTH species as one batched system (2, ndof).
 
         Linear stage solves at tol 1e-5 per reference :383-386. Batching
@@ -212,13 +235,9 @@ def build_pnp_system(
             return FA.spmv_batched(K_pair, u, vt2.dofmap, ndof)
 
         solve_direct = None
-        if use_dense_species:
-            from ..solvers.direct import (
-                batched_lu_factor_f32, make_lu_refine_solver)
+        if use_dense_species and lu_piv is not None:
+            from ..solvers.direct import make_lu_refine_solver
             A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-            A_dense = FA.dense_constrained_matrix_batched(
-                A_stage, vt2.dofmap, ndof, free_pair)
-            lu_piv = batched_lu_factor_f32(A_dense)
             solve_direct = make_lu_refine_solver(
                 lu_piv, A_stage, vt2.dofmap, ndof, free_pair)
 
@@ -254,11 +273,20 @@ def build_pnp_system(
         return levels[-1], iters
 
     def _species_step(uphi_, ucp_, ucm_):
-        gphi = interp_grad(uphi_[vt2.dofmap], vt2.gradphi)
-        K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
-        K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
-        K_pair = jnp.stack([K_cp, K_cm])
-        out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]))
+        """Fresh factorization + step (simple path; see also the reuse
+        pair species_factor/species_step_reuse for amortized LU)."""
+        K_pair = _build_K_pair(uphi_)
+        lu_piv = _species_factor(uphi_) if use_dense_species else None
+        out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
+                                           lu_piv)
+        return out[0], out[1], iters
+
+    def _species_step_reuse(lu_piv, uphi_, ucp_, ucm_):
+        """Step with a possibly-stale LU preconditioner (refinement counts
+        rise as phi drifts; correctness is residual-checked)."""
+        K_pair = _build_K_pair(uphi_)
+        out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
+                                           lu_piv)
         return out[0], out[1], iters
 
     def _poisson_residual(uphi_, ucp_, ucm_):
@@ -306,7 +334,10 @@ def build_pnp_system(
         scan_steps=scan_steps,
         ionflux_tables=build_ionflux_tables(space, sys.cylindrical, pi,
                                             sys.n_surfaces),
-        dt=dt)
+        dt=dt,
+        species_factor=jax.jit(_species_factor) if use_dense_species else None,
+        species_step_reuse=(jax.jit(_species_step_reuse)
+                            if use_dense_species else None))
 
 
 @dataclasses.dataclass
@@ -332,11 +363,19 @@ def run_instationary_pnp_from_pb(
     checkpoint_freq: int = 0,
     resume: bool = False,
     flux_convention: str = "reference",
+    presolve_potential: bool = False,
 ) -> PnpRunResult:
+    """Run phases A-D. ``presolve_potential`` is a deviation switch: the
+    reference's first species step sees the raw Dirichlet bias jump
+    (slp.apply() only runs after it, src :421-429); solving Poisson once
+    before the loop replaces that discontinuity with the smooth potential
+    of the initial concentrations and tames the violent early transient."""
     n_steps = sys.nSteps if n_steps is None else n_steps
     system = build_pnp_system(sys, space, tableau, device_mesh)
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
     dt = system.dt
+    if presolve_potential:
+        uphi, _ = system.poisson_solve(uphi, ucp, ucm)
 
     # ---- Phase D: time loop ---------------------------------------------
     time = 0.0
@@ -359,8 +398,22 @@ def run_instationary_pnp_from_pb(
         write_dat(space, ucm, os.path.join(output_dir, "cm.dat"))
 
     history = []
+    # LU-amortized stepping: reuse the stage factorization while the
+    # refinement count stays low, refactorize at the current potential when
+    # it climbs (results are residual-checked either way)
+    lu = None
+    refactor_threshold = 12
     for i in range(start_step, n_steps):
-        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
+        if system.species_factor is not None:
+            if lu is None:
+                lu = system.species_factor(uphi)
+            ucp_n, ucm_n, its = system.species_step_reuse(lu, uphi, ucp, ucm)
+            if int(its) >= refactor_threshold:
+                lu = system.species_factor(uphi)
+                ucp_n, ucm_n, its = system.species_step_reuse(lu, uphi, ucp, ucm)
+            ucp, ucm = ucp_n, ucm_n
+        else:
+            ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
         time += dt
         if i % sys.potentialUpdateFreq == 0:
             uphi, _ = system.poisson_solve(uphi, ucp, ucm)
