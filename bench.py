@@ -37,22 +37,11 @@ def run(n_meas: int = 10):
 
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
 
-    state = {"lu": None}
-
     def step(uphi, ucp, ucm):
-        # LU-amortized species stepping (same policy as the run driver)
-        if system.species_factor is not None:
-            if state["lu"] is None:
-                state["lu"] = system.species_factor(uphi)
-            ucp_n, ucm_n, its = system.species_step_reuse(
-                state["lu"], uphi, ucp, ucm)
-            if int(its) >= 12:
-                state["lu"] = system.species_factor(uphi)
-                ucp_n, ucm_n, _ = system.species_step_reuse(
-                    state["lu"], uphi, ucp, ucm)
-            ucp, ucm = ucp_n, ucm_n
-        else:
-            ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
+        # fresh stage factorization each step: measured faster than
+        # LU-reuse-with-refinement on the production transient (phi moves
+        # every step, so a stale LU forces refactor+redo plus host syncs)
+        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
         uphi, _ = system.poisson_solve(uphi, ucp, ucm)
         return uphi, ucp, ucm
 

@@ -398,22 +398,13 @@ def run_instationary_pnp_from_pb(
         write_dat(space, ucm, os.path.join(output_dir, "cm.dat"))
 
     history = []
-    # LU-amortized stepping: reuse the stage factorization while the
-    # refinement count stays low, refactorize at the current potential when
-    # it climbs (results are residual-checked either way)
-    lu = None
-    refactor_threshold = 12
+    # fresh stage factorization each step: measured faster on TPU than
+    # LU-reuse-with-refinement (the production transient moves phi every
+    # step, making a stale LU a refactor+redo with extra host syncs);
+    # species_factor/species_step_reuse remain available for slowly-varying
+    # regimes
     for i in range(start_step, n_steps):
-        if system.species_factor is not None:
-            if lu is None:
-                lu = system.species_factor(uphi)
-            ucp_n, ucm_n, its = system.species_step_reuse(lu, uphi, ucp, ucm)
-            if int(its) >= refactor_threshold:
-                lu = system.species_factor(uphi)
-                ucp_n, ucm_n, its = system.species_step_reuse(lu, uphi, ucp, ucm)
-            ucp, ucm = ucp_n, ucm_n
-        else:
-            ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
+        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
         time += dt
         if i % sys.potentialUpdateFreq == 0:
             uphi, _ = system.poisson_solve(uphi, ucp, ucm)
@@ -433,6 +424,18 @@ def run_instationary_pnp_from_pb(
                 current_writer.write(time, ip, im)
         if checkpoint_path and checkpoint_freq and (i + 1) % checkpoint_freq == 0:
             save_checkpoint(checkpoint_path, sys, i + 1, time, uphi, ucp, ucm)
+        # failure guard (the reference swallows failures and loses the run,
+        # SURVEY.md section 5): detect non-finite state, dump an emergency
+        # checkpoint, and abort with a diagnosable error
+        if (i + 1) % 16 == 0 or i + 1 == n_steps:
+            if not bool(jnp.isfinite(uphi).all() & jnp.isfinite(ucp).all()
+                        & jnp.isfinite(ucm).all()):
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path + ".emergency", sys,
+                                    i + 1, time, uphi, ucp, ucm)
+                raise FloatingPointError(
+                    f"non-finite state at step {i + 1} (t={time:g}); "
+                    "reduce tau or enable presolve_potential")
 
     uphi, _ = system.poisson_solve(uphi, ucp, ucm)  # final solve (ref :454)
     if current_writer:

@@ -38,6 +38,14 @@ def run_stationary_diffusion(sys: Sysparams, space: FunctionSpace,
     diag = FA.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
     krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
 
+    if sys.printStiffnessMatrix:
+        # reference flag exists but its Dune::printmatrix call is commented
+        # out (src/stationary_pnp_from_pb.hh:322); here it works: dump the
+        # assembled constrained dense matrix alongside the outputs
+        from ..fem.assembly import dense_constrained_matrix
+        A = dense_constrained_matrix(A_el, ctx.dofmap, ctx.ndof, ctx.free)
+        np.save("stiffness_matrix.npy", np.asarray(A))
+
     u0 = jnp.where(ctx.free, 0.0, ctx.dirichlet)
 
     @jax.jit
