@@ -78,16 +78,22 @@ def test_pore_pnp_smoke(ref_test_dir):
     assert np.asarray(res.phi).max() > 20.0  # bias present in the field
 
 
-def test_pore_without_dna_on_coarse_mesh(ref_test_dir):
-    """pore_without_dna.msh is not shipped; run its config on the coarse
-    pore.msh (6 surfaces vs 7: the coarse mesh's groups are a subset)."""
+def test_pore_without_dna_synthesized_mesh(ref_test_dir):
+    """pore_without_dna.msh is not shipped (only its .geo); run the config
+    on the mesh synthesized from the .geo dimensions
+    (meshio.structured.pore_without_dna_mesh)."""
+    from pnp_tpu.meshio.structured import pore_without_dna_mesh
     cfg = read_config(str(ref_test_dir / "pore_without_dna/pore.cfg"))
-    mesh = read_gmsh(str(ref_test_dir / "pore.msh"))
-    if mesh.edge_phys.max() >= cfg.n_surfaces:
-        pytest.skip("coarse mesh physical groups exceed config surfaces")
+    mesh = pore_without_dna_mesh(nx=50, ny=28)   # coarse for test speed
+    assert mesh.edge_phys.max() < cfg.n_surfaces
     space = FunctionSpace(mesh, 1)
     res = run_instationary_pnp_from_pb(cfg, space, n_steps=2)
     assert np.isfinite(np.asarray(res.phi)).all()
+    # 1 V bias held at the outflow Dirichlet dofs
+    from pnp_tpu.fem.constraints import dirichlet_dof_mask, dirichlet_dof_values
+    m = dirichlet_dof_mask(space, cfg, 0)
+    vals = dirichlet_dof_values(space, cfg, 0)
+    np.testing.assert_allclose(np.asarray(res.phi)[m], vals[m], atol=1e-12)
 
 
 def test_split_vs_monolithic_steady_state(ref_test_dir):
