@@ -7,15 +7,27 @@ AND the analytic element Jacobian in ONE pass over the element tables
 (one HBM read of gradphi/qw instead of two, one kernel launch instead of
 several), tiled over element blocks in VMEM.
 
-Layout notes (see /opt/skills/guides/pallas_guide.md):
-  * element tables are reshaped so the minor axis is the fused
-    (quad x dof x dim) factor — small and dense, VPU-friendly;
-  * the element tile size is the sublane-aligned ELEM_TILE;
-  * E is padded to a tile multiple by the caller (zero qw rows contribute
-    zero, same convention as parallel.sharding).
+Mosaic-dictated design (see /opt/skills/guides/pallas_guide.md and the
+failures catalogued in CLAUDE.md):
+  * f32 only on hardware — Mosaic implements no f64 dot/transcendentals
+    (interpret mode runs any dtype; f32 matches the engine's dense-LU
+    stage-solve precision, with f64 refinement outside);
+  * no sinh/cosh primitives — exp-based forms;
+  * no >4-D broadcasts, gathers, or strided ref stores — the dof (n) and
+    spatial (d) axes are moved to LEADING block dimensions with static
+    extents, so every in-kernel tensor is a 2-D (tile, quad) block indexed
+    by static python ints, and outputs are written as whole blocks.
 
-The kernel is exact-arithmetic-equivalent to operators.volume.pb_* (tested
-in interpret mode on CPU and compiled on TPU, tests/test_pallas.py).
+Layouts: shape_t (n, q), ue_t (n, E), gp_t (n, 2, E, q), qw/qy (E, q);
+outputs r_t (n, E), A_t (n, n, E). ``pb_residual_jacobian_pallas`` wraps
+the transposes and exposes the engine's natural (E, ...) layout.
+
+STATUS: exact-parity verified in interpret mode (tests/test_pallas.py).
+Hardware compilation still trips Mosaic layout legalization on the tiny
+minor extents (q = 4, n = 3 blocks vs the (8, 128) tile grid) — packing
+the fused (q*n*2) factor into a 128-padded lane dimension is the round-2
+path to a compiled kernel. The production path remains the XLA einsum
+assembly (which fuses well); this module pins the kernel semantics.
 """
 
 from __future__ import annotations
@@ -33,36 +45,45 @@ Array = Any
 ELEM_TILE = 256
 
 
-def _pb_kernel(shape_ref, ue_ref, gradphi_ref, qw_ref, qy_ref, params_ref,
+def _make_pb_kernel(n: int):
+    def kernel(shape_ref, ue_ref, gp_ref, qw_ref, qy_ref, params_ref,
                r_ref, A_ref):
-    """One element tile: fused PB residual + Jacobian.
+        qw = qw_ref[:]                       # (T, q)
+        qy = qy_ref[:]
+        coef = params_ref[0, 0]
+        cyl = params_ref[0, 1]
+        two_pi = params_ref[0, 2]
+        f = qw * (1.0 + cyl * (qy * two_pi - 1.0))     # (T, q)
 
-    shapes per tile: ue (T, n), gradphi (T, q, n, 2), qw/qy (T, q),
-    shape table (q, n) [replicated], params (1, 4) in SMEM-like layout:
-    [coef, cylindrical, two_pi, unused]; outputs r (T, n), A (T, n, n).
-    """
-    shape = shape_ref[:]                    # (q, n)
-    ue = ue_ref[:]                          # (T, n)
-    gp = gradphi_ref[:]                     # (T, q, n, 2)
-    qw = qw_ref[:]                          # (T, q)
-    qy = qy_ref[:]
-    coef = params_ref[0, 0]
-    cyl = params_ref[0, 1]
-    two_pi = params_ref[0, 2]
+        # u(q) and grad u(q, d) from leading-static-axis blocks
+        u = jnp.zeros_like(f)
+        for i in range(n):
+            u = u + ue_ref[i][:, None] * shape_ref[i][None, :]
+        gu = []
+        for d in range(2):
+            g = jnp.zeros_like(f)
+            for i in range(n):
+                g = g + ue_ref[i][:, None] * gp_ref[i, d]
+            gu.append(g)
 
-    f = qw * (1.0 + cyl * (qy * two_pi - 1.0))     # (T, q)
-    u = jnp.einsum("ti,qi->tq", ue, shape)         # (T, q)
-    gu = jnp.einsum("ti,tqid->tqd", ue, gp)        # (T, q, 2)
-    sh = jnp.sinh(u)
-    ch = jnp.cosh(u)
+        eu = jnp.exp(u)                      # Mosaic has no sinh/cosh
+        ei = 1.0 / eu
+        fsh = coef * 0.5 * (eu - ei) * f
+        fch = coef * 0.5 * (eu + ei) * f
 
-    r = jnp.einsum("tqd,tqid,tq->ti", gu, gp, f)
-    r += jnp.einsum("tq,qi,tq->ti", coef * sh, shape, f)
-    r_ref[:] = r
+        for i in range(n):
+            dot_i = gu[0] * gp_ref[i, 0] + gu[1] * gp_ref[i, 1]
+            r_ref[i] = jnp.sum(f * dot_i + fsh * shape_ref[i][None, :],
+                               axis=1)
+            for j in range(n):
+                dot_ij = (gp_ref[i, 0] * gp_ref[j, 0]
+                          + gp_ref[i, 1] * gp_ref[j, 1])
+                A_ref[i, j] = jnp.sum(
+                    f * dot_ij
+                    + fch * shape_ref[i][None, :] * shape_ref[j][None, :],
+                    axis=1)
 
-    A = jnp.einsum("tq,tqid,tqjd->tij", f, gp, gp)
-    A += jnp.einsum("tq,qi,qj->tij", f * coef * ch, shape, shape)
-    A_ref[:] = A
+    return kernel
 
 
 def pb_residual_jacobian_pallas(ue: Array, shape: Array, gradphi: Array,
@@ -73,7 +94,7 @@ def pb_residual_jacobian_pallas(ue: Array, shape: Array, gradphi: Array,
 
     ue (E, n), shape (q, n), gradphi (E, q, n, 2), qw/qy (E, q); E must be
     a multiple of ELEM_TILE (pad with qw = 0 rows). Returns (r (E, n),
-    A (E, n, n)).
+    A (E, n, n)). f32 recommended on hardware (see module docstring).
     """
     E, n = ue.shape
     q = shape.shape[0]
@@ -82,33 +103,33 @@ def pb_residual_jacobian_pallas(ue: Array, shape: Array, gradphi: Array,
     coef = 8.0 * pi * l_b * c0
     params = jnp.array([[coef, 1.0 if cylindrical else 0.0, 2.0 * pi, 0.0]],
                        dtype=dtype)
+    shape_t = jnp.asarray(shape, dtype).T                    # (n, q)
+    ue_t = ue.T                                              # (n, E)
+    gp_t = jnp.transpose(gradphi, (2, 3, 0, 1))              # (n, 2, E, q)
     grid = (E // ELEM_TILE,)
 
-    def im(i):
-        return (i, 0)
-
-    r, A = pl.pallas_call(
-        _pb_kernel,
+    r_t, A_t = pl.pallas_call(
+        _make_pb_kernel(n),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q, n), lambda i: (0, 0)),                  # shape
-            pl.BlockSpec((ELEM_TILE, n), im),                        # ue
-            pl.BlockSpec((ELEM_TILE, q, n, 2), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((ELEM_TILE, q), im),                        # qw
-            pl.BlockSpec((ELEM_TILE, q), im),                        # qy
-            pl.BlockSpec((1, 4), lambda i: (0, 0)),                  # params
+            pl.BlockSpec((n, q), lambda i: (0, 0)),              # shape_t
+            pl.BlockSpec((n, ELEM_TILE), lambda i: (0, i)),      # ue_t
+            pl.BlockSpec((n, 2, ELEM_TILE, q), lambda i: (0, 0, i, 0)),
+            pl.BlockSpec((ELEM_TILE, q), lambda i: (i, 0)),      # qw
+            pl.BlockSpec((ELEM_TILE, q), lambda i: (i, 0)),      # qy
+            pl.BlockSpec((1, 4), lambda i: (0, 0)),              # params
         ],
         out_specs=[
-            pl.BlockSpec((ELEM_TILE, n), im),
-            pl.BlockSpec((ELEM_TILE, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((n, ELEM_TILE), lambda i: (0, i)),
+            pl.BlockSpec((n, n, ELEM_TILE), lambda i: (0, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((E, n), dtype),
-            jax.ShapeDtypeStruct((E, n, n), dtype),
+            jax.ShapeDtypeStruct((n, E), dtype),
+            jax.ShapeDtypeStruct((n, n, E), dtype),
         ],
         interpret=interpret,
-    )(shape, ue, gradphi, qw, qy, params)
-    return r, A
+    )(shape_t, ue_t, gp_t, qw, qy, params)
+    return r_t.T, jnp.transpose(A_t, (2, 0, 1))
 
 
 def pad_to_tile(arr, tile: int = ELEM_TILE, fill=0.0):
