@@ -1,0 +1,328 @@
+"""Owner-partitioned distributed execution context (v2 distribution).
+
+This generalizes the packed halo-exchange SpMV of ``parallel/halo.py`` into
+the full execution substrate the production drivers need: batched vectors
+(the two-species stage systems are (S, N) stacks), nonlinear element
+gathers/scatters (PB / drift-diffusion reassembly), and host partition/
+unpartition for IO. It is the TPU-native analogue of DUNE's nonoverlapping
+decomposition (ghost dofs + NOVLP halo exchange, bound by the reference at
+src/instationary_pnp_from_pb_md.hh:127-144 and inside the ISTL NOVLP
+solvers), re-expressed so the traffic rides ICI:
+
+  * dof vectors live owner-partitioned as flat ``(K * B_N,)`` arrays
+    sharded over the 1-D device mesh axis ``'e'`` (shard s owns slots
+    ``[s*B_N, (s+1)*B_N)``; padded slots are permanently zero and marked
+    constrained);
+  * element tables live element-partitioned as flat ``(K * B_E, ...)``
+    arrays with the SAME sharding, so every element kernel from
+    ``operators/volume.py`` runs unchanged on its shard's block;
+  * halo values move as packed per-pair buffers (only what a destination
+    needs); XLA's partitioner inserts the all-to-all for the transposed
+    buffer. Krylov dot products are plain ``sum``s over the flat axis —
+    GSPMD reduces across shards (the NOVLP global-reduction analogue).
+
+Collectives are GSPMD-inserted via sharding constraints — manual
+``shard_map`` collectives are avoided in this environment (see
+parallel/halo.py docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .halo import HaloPlan, build_halo_plan, partition_element_array
+
+Array = Any
+
+
+def locality_element_order(mesh) -> np.ndarray:
+    """Morton (Z-order) permutation of elements by centroid.
+
+    Python-only substitute for the native meshkit BFS partitioner
+    (native/meshkit.cpp:mk_partition) usable for synthesized meshes with no
+    .msh file; contiguous blocks of the order are spatially compact, which
+    keeps halos thin (the TPU analogue of UG ``loadBalance()``,
+    src/pnp_solver_main.cc:108).
+    """
+    c = mesh.nodes[mesh.tris].mean(axis=1)          # (E, 2) centroids
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    q = np.minimum(((c - lo) / span * 1024).astype(np.uint32), 1023)
+    code = np.zeros(len(c), dtype=np.uint64)
+    for b in range(10):
+        code |= ((q[:, 0] >> b) & 1).astype(np.uint64) << np.uint64(2 * b)
+        code |= ((q[:, 1] >> b) & 1).astype(np.uint64) << np.uint64(2 * b + 1)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def _build_env_maps(plan: HaloPlan, dofmap: np.ndarray):
+    """Environment-element maps for true-submatrix subdomain assembly.
+
+    The per-shard [owned | halo] local matrix assembled from the shard's
+    OWN elements is the partial "Neumann" matrix — interface rows/cols miss
+    the contributions of neighbor shards' elements, which measurably
+    weakens Schwarz preconditioning (2x the Krylov iterations on a Laplace
+    model problem). The fix: each shard also gathers the element blocks of
+    its *env elements* — elements owned elsewhere that touch any of its
+    local dofs — so the assembled local matrix is the TRUE principal
+    submatrix A[loc, loc] of the global operator.
+
+    Returns (env_ids, env_dofmap):
+      env_ids    (K, B_E2) int32 — flat positions (k*B_E + e_loc) into the
+                 flat element-block array (pad: 0, neutralized by dofmap);
+      env_dofmap (K, B_E2, n) int32 — local slots in [0, L]; L (=B_N+B_H)
+                 is the drop slot for dofs outside the shard's local set
+                 and for padded env rows.
+    """
+    K, B_E = plan.K, plan.B_E
+    E, n = dofmap.shape
+    L = plan.B_N + plan.B_H
+
+    pos_of_elem = np.zeros(E, np.int64)
+    owner_elem = np.zeros(E, np.int32)
+    for s in range(K):
+        ids = plan.elem_ids[s]
+        sel = np.where(ids >= 0)[0]
+        pos_of_elem[ids[sel]] = s * B_E + sel
+        owner_elem[ids[sel]] = s
+
+    glob2loc = np.full((K, plan.ndof), L, np.int32)
+    for s in range(K):
+        m = plan.owned_global[s] >= 0
+        glob2loc[s, plan.owned_global[s][m]] = np.where(m)[0]
+        ids = plan.elem_ids[s]
+        sel = ids >= 0
+        glob2loc[s, dofmap[ids[sel]].reshape(-1)] = (
+            plan.dofmap_local[s, sel].reshape(-1))
+
+    env_lists = [
+        np.where((glob2loc[s, dofmap] < L).any(axis=1)
+                 & (owner_elem != s))[0]
+        for s in range(K)
+    ]
+    B_E2 = max(max(len(l) for l in env_lists), 1)
+    env_ids = np.zeros((K, B_E2), np.int32)
+    env_dofmap = np.full((K, B_E2, n), L, np.int32)
+    for s in range(K):
+        l = env_lists[s]
+        env_ids[s, :len(l)] = pos_of_elem[l]
+        env_dofmap[s, :len(l)] = glob2loc[s, dofmap[l]]
+    return env_ids, env_dofmap
+
+
+@dataclasses.dataclass
+class DistContext:
+    """Device-resident owner-partitioned distribution context.
+
+    All vector ops accept flat ``(Kb,)`` vectors or batched ``(S, Kb)``
+    stacks, ``Kb = K * B_N``, sharded ``P('e')`` on the flat axis.
+    """
+
+    plan: HaloPlan
+    mesh: Mesh
+    n: int                      # dofs per element
+    dofmap_local: Array         # (K, B_E * n) int32, sharded axis 0
+    send_idx: Array             # (K, K, H) sharded axis 0
+    recv_pos: Array             # (K, K, H) sharded axis 0
+    dofmap_global: np.ndarray | None = None   # (E, n) host copy
+    _env_maps: tuple | None = None
+
+    @property
+    def K(self):
+        return self.plan.K
+
+    @property
+    def Kb(self):
+        return self.plan.K * self.plan.B_N
+
+    @property
+    def E_flat(self):
+        return self.plan.K * self.plan.B_E
+
+    # ---- placement -------------------------------------------------------
+    def put_sharded(self, a, axis: int = 0) -> Array:
+        spec = [None] * np.ndim(a)
+        spec[axis] = "e"
+        return jax.device_put(jnp.asarray(a),
+                              NamedSharding(self.mesh, P(*spec)))
+
+    def _pin(self, a, axis: int) -> Array:
+        spec = [None] * a.ndim
+        spec[axis] = "e"
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(self.mesh, P(*spec)))
+
+    # ---- host-side partition helpers --------------------------------------
+    def partition(self, x: np.ndarray) -> np.ndarray:
+        """Global (ndof,) -> flat (Kb,) numpy (padded slots zero)."""
+        plan = self.plan
+        out = np.zeros((plan.K, plan.B_N), dtype=np.asarray(x).dtype)
+        m = plan.owned_global >= 0
+        out[m] = np.asarray(x)[plan.owned_global[m]]
+        return out.reshape(-1)
+
+    def unpartition(self, xp) -> np.ndarray:
+        plan = self.plan
+        xp = np.asarray(xp).reshape(plan.K, plan.B_N)
+        out = np.zeros(plan.ndof, dtype=xp.dtype)
+        m = plan.owned_global >= 0
+        out[plan.owned_global[m]] = xp[m]
+        return out
+
+    def partition_elem(self, arr: np.ndarray) -> np.ndarray:
+        """Element array (E, ...) -> flat (K*B_E, ...) per the plan."""
+        out = partition_element_array(self.plan, np.asarray(arr))
+        return out.reshape((-1,) + out.shape[2:])
+
+    def pad_mask_flat(self) -> np.ndarray:
+        """(Kb,) bool — True on REAL owned slots, False on padding."""
+        return (self.plan.owned_global >= 0).reshape(-1)
+
+    def env_maps(self):
+        """(env_ids (K, B_E2), env_dofmap (K, B_E2*n)) device arrays,
+        sharded axis 0 — see :func:`_build_env_maps`. Built lazily; needs
+        ``dofmap_global``."""
+        if self._env_maps is None:
+            assert self.dofmap_global is not None, (
+                "DistContext built without the global dofmap")
+            env_ids, env_dofmap = _build_env_maps(
+                self.plan, self.dofmap_global)
+            self._env_maps = (
+                self.put_sharded(env_ids),
+                self.put_sharded(env_dofmap.reshape(self.plan.K, -1)))
+        return self._env_maps
+
+    # ---- exchange core (batched: x is (S, K, B_N)) ------------------------
+    def _forward_b(self, x: Array) -> Array:
+        """(S, K, B_N) -> (S, K, B_H) halo values fetched from owners."""
+        plan = self.plan
+        S = x.shape[0]
+        K, B_N, B_H, H = plan.K, plan.B_N, plan.B_H, plan.H_pair
+        src = jnp.broadcast_to(x[:, :, None, :], (S, K, K, B_N))
+        idx = jnp.broadcast_to(self.send_idx[None], (S, K, K, H))
+        buf = jnp.take_along_axis(src, idx, axis=3)         # (S,Ksrc,Kdst,H)
+        buf_t = self._pin(jnp.swapaxes(buf, 1, 2), 1)       # (S,Kdst,Ksrc,H)
+        halo = jnp.zeros((S, K, B_H + 1), dtype=x.dtype)    # +1 drop slot
+        s_ix = jnp.arange(S)[:, None, None, None]
+        k_ix = jnp.arange(K)[None, :, None, None]
+        halo = halo.at[s_ix, k_ix, self.recv_pos[None]].set(buf_t,
+                                                            mode="drop")
+        return halo[:, :, :B_H]
+
+    def _backward_b(self, y_halo: Array) -> Array:
+        """(S, K, B_H) additive halo contributions -> (S, K, B_N) updates."""
+        plan = self.plan
+        S = y_halo.shape[0]
+        K, B_N, B_H, H = plan.K, plan.B_N, plan.B_H, plan.H_pair
+        yh = jnp.concatenate(
+            [y_halo, jnp.zeros((S, K, 1), y_halo.dtype)], axis=2)
+        src = jnp.broadcast_to(yh[:, :, None, :], (S, K, K, B_H + 1))
+        idx = jnp.broadcast_to(jnp.minimum(self.recv_pos, B_H)[None],
+                               (S, K, K, H))
+        buf = jnp.take_along_axis(src, idx, axis=3)
+        buf = jnp.where(self.recv_pos[None] < B_H, buf, 0.0)
+        buf_t = self._pin(jnp.swapaxes(buf, 1, 2), 1)       # (S,Kown,Ksend,H)
+        acc = jnp.zeros((S, K, B_N), dtype=y_halo.dtype)
+        s_ix = jnp.arange(S)[:, None, None, None]
+        k_ix = jnp.arange(K)[None, :, None, None]
+        idx2 = jnp.broadcast_to(self.send_idx[None], (S, K, K, H))
+        acc = acc.at[s_ix, k_ix, idx2].add(buf_t)
+        return acc
+
+    # ---- vector ops (flat (Kb,) / batched (S, Kb)) -------------------------
+    def _as_batched(self, x: Array):
+        if x.ndim == 1:
+            return x[None], True
+        return x, False
+
+    def local_with_halo(self, x: Array) -> Array:
+        """(S, Kb) -> (S, K, B_N + B_H) local [owned | halo] views."""
+        plan = self.plan
+        xk = self._pin(x.reshape(x.shape[0], plan.K, plan.B_N), 1)
+        halo = self._forward_b(xk)
+        return self._pin(jnp.concatenate([xk, halo], axis=2), 1)
+
+    def gather_elem(self, x: Array) -> Array:
+        """(Kb,) -> (K*B_E, n) or (S, Kb) -> (S, K*B_E, n) element values."""
+        xb, squeeze = self._as_batched(x)
+        S = xb.shape[0]
+        plan = self.plan
+        xloc = self.local_with_halo(xb)                      # (S, K, L)
+        idx = jnp.broadcast_to(self.dofmap_local[None],
+                               (S, plan.K, plan.B_E * self.n))
+        xe = jnp.take_along_axis(xloc, idx, axis=2)
+        xe = xe.reshape(S, plan.K * plan.B_E, self.n)
+        return xe[0] if squeeze else xe
+
+    def scatter_elem(self, re: Array) -> Array:
+        """Per-element values (K*B_E, n) or (S, K*B_E, n) -> assembled flat
+        vector(s) with halo contributions returned to their owners."""
+        rb = re[None] if re.ndim == 2 else re
+        S = rb.shape[0]
+        plan = self.plan
+        K, B_N, B_H = plan.K, plan.B_N, plan.B_H
+        rk = rb.reshape(S, K, plan.B_E * self.n)
+        yloc = jnp.zeros((S, K, B_N + B_H), dtype=rb.dtype)
+        s_ix = jnp.arange(S)[:, None, None]
+        k_ix = jnp.arange(K)[None, :, None]
+        idx = jnp.broadcast_to(self.dofmap_local[None],
+                               (S, K, plan.B_E * self.n))
+        yloc = self._pin(yloc.at[s_ix, k_ix, idx].add(rk), 1)
+        y = yloc[:, :, :B_N] + self._backward_b(yloc[:, :, B_N:])
+        y = y.reshape(S, self.Kb)
+        return y[0] if re.ndim == 2 else y
+
+    def spmv(self, A_el: Array, x: Array) -> Array:
+        """Matrix-free SpMV from flat element blocks.
+
+        A_el: (K*B_E, n, n) with x (Kb,), or (S, K*B_E, n, n) with (S, Kb).
+        """
+        if x.ndim == 1:
+            xe = self.gather_elem(x)
+            ye = jnp.einsum("eij,ej->ei", A_el, xe)
+            return self.scatter_elem(ye)
+        xe = self.gather_elem(x)
+        ye = jnp.einsum("seij,sej->sei", A_el, xe)
+        return self.scatter_elem(ye)
+
+    def diagonal(self, A_el: Array) -> Array:
+        """Assembled diagonal(s) from flat element blocks."""
+        if A_el.ndim == 3:
+            return self.scatter_elem(jnp.einsum("eii->ei", A_el))
+        return self.scatter_elem(jnp.einsum("seii->sei", A_el))
+
+    def make_constrained_operator(self, A_el: Array, free: Array):
+        """y = A_c x with Dirichlet (and padding) slots acting as identity."""
+
+        def op(x):
+            xi = jnp.where(free, x, 0.0)
+            y = self.spmv(A_el, xi)
+            return jnp.where(free, y, x)
+
+        return op
+
+
+def build_dist_context(space, mesh: Mesh,
+                       element_perm: np.ndarray | None = None) -> DistContext:
+    """Build the owner-partitioned context for a FunctionSpace over a
+    1-D device mesh (axis 'e')."""
+    K = int(mesh.devices.size)
+    dofmap = np.asarray(space.dofmap)
+    if element_perm is None:
+        element_perm = locality_element_order(space.mesh)
+    plan = build_halo_plan(dofmap, space.ndof, K, element_perm=element_perm)
+    ctx = DistContext(
+        plan=plan, mesh=mesh, n=dofmap.shape[1],
+        dofmap_local=None, send_idx=None, recv_pos=None,
+        dofmap_global=dofmap)
+    ctx.dofmap_local = ctx.put_sharded(
+        plan.dofmap_local.reshape(K, -1).astype(np.int32))
+    ctx.send_idx = ctx.put_sharded(plan.send_idx)
+    ctx.recv_pos = ctx.put_sharded(plan.recv_pos)
+    return ctx

@@ -1,0 +1,139 @@
+"""Distributed block-LU preconditioner (restricted additive Schwarz).
+
+The TPU-native substitute for sequential SSOR/ILU smoothing inside the
+reference's NOVLP Krylov solvers (src/instationary_pnp_from_pb_md.hh:188):
+each shard densely assembles the TRUE principal submatrix A[loc, loc] of
+its [owned | halo] local dof set (own element blocks + gathered
+env-element blocks), factorizes it in f32 on the MXU — batched dense LU
+is the hardware's native food — and one preconditioner application is a
+single packed halo exchange plus a batched triangular solve pair. With
+the halo layer as overlap this is restricted additive Schwarz (RAS) with
+exact subdomain solves — the strongest single-level smoother available
+without sequential triangular sweeps. RAS is nonsymmetric: pair it with
+BiCGSTAB; use ``restricted=False`` (symmetric additive Schwarz) with CG.
+
+Singular floating subdomains (interior shards of a pure-Laplace operator
+annihilate constants) are regularized by a relative diagonal shift; the
+shift only perturbs the preconditioner, never the Krylov residual.
+
+Memory: S * K * L^2 f32 with L = B_N + B_H (per-shard local size).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Array = Any
+
+
+def build_local_matrices(ctx, A_el: Array, free: Array,
+                         rel_shift: float = 1e-7, env: bool = True) -> Array:
+    """Assemble per-shard dense local matrices.
+
+    ctx:   parallel.dist.DistContext.
+    A_el:  flat element blocks (K*B_E, n, n) or batched (S, K*B_E, n, n).
+    free:  (Kb,) / (S, Kb) boolean masks (False = Dirichlet or padding).
+    env:   True (default) assembles the TRUE principal submatrix
+           A[loc, loc] by additionally gathering each shard's env-element
+           blocks (one setup-time sharded gather; XLA inserts the
+           collective). False keeps only the shard's own elements — the
+           partial "Neumann" matrix, measured ~2x weaker as a RAS
+           preconditioner on a Laplace model problem.
+    Returns (K, L, L) / (S, K, L, L) f64 local matrices with identity on
+    constrained/padded slots and a ``rel_shift * max|diag|`` shift on free
+    diagonals (floating-subdomain regularization).
+    """
+    squeeze = A_el.ndim == 3
+    if squeeze:
+        A_el, free = A_el[None], free[None]
+    S = A_el.shape[0]
+    plan = ctx.plan
+    K, B_E, n = plan.K, plan.B_E, ctx.n
+    L = plan.B_N + plan.B_H
+
+    f_loc = ctx.local_with_halo(free.astype(A_el.dtype))      # (S, K, L)
+    Ar = A_el.reshape(S, K, B_E, n, n)
+    dm = ctx.dofmap_local.reshape(K, B_E, n)
+    s_ix = jnp.arange(S)[:, None, None, None, None]
+    k_ix = jnp.arange(K)[None, :, None, None, None]
+    rows = dm[None, :, :, :, None]
+    cols = dm[None, :, :, None, :]
+    # L+1-wide scratch: slot L is the drop slot for env dofs outside the
+    # shard's local set (own-element dofs are always < L).
+    A = jnp.zeros((S, K, L + 1, L + 1), dtype=A_el.dtype)
+    A = A.at[s_ix, k_ix, rows, cols].add(Ar)
+    if env:
+        env_ids, env_dofmap = ctx.env_maps()
+        B_E2 = env_ids.shape[1]
+        Ae = jnp.take(A_el, env_ids.reshape(-1), axis=1)      # (S,K*B_E2,n,n)
+        Ae = Ae.reshape(S, K, B_E2, n, n)
+        dme = env_dofmap.reshape(K, B_E2, n)
+        rows_e = dme[None, :, :, :, None]
+        cols_e = dme[None, :, :, None, :]
+        A = A.at[s_ix, k_ix, rows_e, cols_e].add(Ae)
+    A = ctx._pin(A[:, :, :L, :L], 1)
+    A = A * f_loc[:, :, :, None] * f_loc[:, :, None, :]
+    diag = jnp.abs(jnp.einsum("skll->skl", A))
+    shift = rel_shift * jnp.max(diag, axis=2, keepdims=True)
+    bump = (1.0 - f_loc) + shift * f_loc
+    A = A + jax.vmap(jax.vmap(jnp.diag))(bump)
+    A = ctx._pin(A, 1)
+    return A[0] if squeeze else A
+
+
+def factor_local_matrices(A_loc: Array):
+    """f32 LU factors of (…, K, L, L) local matrices (batched getrf)."""
+    return jax.lax.linalg.lu(A_loc.astype(jnp.float32))
+
+
+def make_ras_precond(ctx, lu_out, restricted: bool = True):
+    """Return M(r): one halo exchange + batched f32 triangular solves.
+
+    ``lu_out``: (lu, pivots, permutation) from :func:`factor_local_matrices`
+    with lu of shape (K, L, L) for flat vectors or (S, K, L, L) for batched
+    stacks. ``restricted=True`` keeps only owned rows of the local solves
+    (RAS — the better Krylov companion); ``False`` adds halo rows back to
+    their owners (symmetric additive Schwarz, usable with CG).
+    """
+    lu, _, perm = lu_out
+    plan = ctx.plan
+    B_N = plan.B_N
+
+    def _solve(lu_kll, perm_kll, r_loc):
+        # r_loc (K, L) f32; lu (K, L, L); perm (K, L)
+        b = jnp.take_along_axis(r_loc, perm_kll, axis=1)
+        y = jax.lax.linalg.triangular_solve(
+            lu_kll, b[..., None], left_side=True, lower=True,
+            unit_diagonal=True)
+        z = jax.lax.linalg.triangular_solve(
+            lu_kll, y, left_side=True, lower=False)
+        return z[..., 0]
+
+    def precond(r: Array) -> Array:
+        rb = r[None] if r.ndim == 1 else r
+        r_loc = ctx.local_with_halo(rb)                       # (S, K, L)
+        r32 = r_loc.astype(jnp.float32)
+        if lu.ndim == 3:
+            z = jax.vmap(lambda rl: _solve(lu, perm, rl))(r32)
+        else:
+            z = jax.vmap(_solve)(lu, perm, r32)
+        z = z.astype(r.dtype)
+        if restricted:
+            out = z[:, :, :B_N]
+        else:
+            out = z[:, :, :B_N] + ctx._backward_b(z[:, :, B_N:])
+        out = out.reshape(rb.shape[0], -1)
+        return out[0] if r.ndim == 1 else out
+
+    return precond
+
+
+def make_schwarz_precond(ctx, A_el: Array, free: Array,
+                         rel_shift: float = 1e-7, restricted: bool = True,
+                         env: bool = True):
+    """Assemble + factor + return the preconditioner in one call."""
+    A_loc = build_local_matrices(ctx, A_el, free, rel_shift, env=env)
+    return make_ras_precond(ctx, factor_local_matrices(A_loc), restricted)
