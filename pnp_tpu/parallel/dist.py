@@ -185,17 +185,14 @@ class DistContext:
         return (self.plan.owned_global >= 0).reshape(-1)
 
     def env_maps(self):
-        """(env_ids (K, B_E2), env_dofmap (K, B_E2*n)) device arrays,
-        sharded axis 0 — see :func:`_build_env_maps`. Built lazily; needs
-        ``dofmap_global``."""
+        """(env_ids (K, B_E2), env_dofmap (K, B_E2, n)) HOST numpy arrays —
+        see :func:`_build_env_maps`. Cached; numpy (not device arrays) so
+        the lazy build is safe inside jit traces (consumers embed them as
+        constants under their own sharding constraints)."""
         if self._env_maps is None:
             assert self.dofmap_global is not None, (
                 "DistContext built without the global dofmap")
-            env_ids, env_dofmap = _build_env_maps(
-                self.plan, self.dofmap_global)
-            self._env_maps = (
-                self.put_sharded(env_ids),
-                self.put_sharded(env_dofmap.reshape(self.plan.K, -1)))
+            self._env_maps = _build_env_maps(self.plan, self.dofmap_global)
         return self._env_maps
 
     # ---- exchange core (batched: x is (S, K, B_N)) ------------------------

@@ -66,11 +66,12 @@ def build_local_matrices(ctx, A_el: Array, free: Array,
     A = jnp.zeros((S, K, L + 1, L + 1), dtype=A_el.dtype)
     A = A.at[s_ix, k_ix, rows, cols].add(Ar)
     if env:
-        env_ids, env_dofmap = ctx.env_maps()
-        B_E2 = env_ids.shape[1]
+        env_ids_np, env_dofmap_np = ctx.env_maps()
+        B_E2 = env_ids_np.shape[1]
+        env_ids = ctx._pin(jnp.asarray(env_ids_np), 0)
+        dme = ctx._pin(jnp.asarray(env_dofmap_np), 0)         # (K, B_E2, n)
         Ae = jnp.take(A_el, env_ids.reshape(-1), axis=1)      # (S,K*B_E2,n,n)
         Ae = Ae.reshape(S, K, B_E2, n, n)
-        dme = env_dofmap.reshape(K, B_E2, n)
         rows_e = dme[None, :, :, :, None]
         cols_e = dme[None, :, :, None, :]
         A = A.at[s_ix, k_ix, rows_e, cols_e].add(Ae)

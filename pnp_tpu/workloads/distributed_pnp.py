@@ -1,0 +1,282 @@
+"""Owner-partitioned (v2) distributed production pipeline.
+
+The multi-chip form of ``instationary_pnp_from_pb`` (reference driver
+src/instationary_pnp_from_pb_md.hh:112-456): the same phases A-D, but dof
+vectors live owner-partitioned over the device mesh (parallel/dist.py)
+instead of replicated, halo values move as packed per-pair buffers over
+ICI, and every linear solve is Krylov + the distributed block-LU Schwarz
+preconditioner (solvers/schwarz.py) — the TPU-native analogue of DUNE's
+NOVLP decomposition + SSOR-preconditioned ISTL solvers.
+
+State layout:
+  * ``uphi``: flat (Kb,) owner-partitioned potential;
+  * ``uc``:   (2, Kb) stacked species (c+, c-) — the two stage systems are
+    solved as one batched Krylov run (one exchange serves both);
+  * element quadrature tables: flat (K*B_E, ...) per the halo plan, so the
+    batched element kernels of operators/volume.py run unchanged.
+
+The PB bootstrap (phase A) runs distributed too: Newton over the
+owner-partitioned residual with per-iteration Schwarz setup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Sysparams
+from ..fem import constraints as C
+from ..fem.geometry import VolumeTables, build_volume_tables
+from ..fem.space import FunctionSpace
+from ..operators import volume as V
+from ..operators.common import interp_grad
+from ..parallel.dist import DistContext, build_dist_context
+from ..solvers import schwarz as SW
+from ..solvers.krylov import bicgstab
+from ..solvers.newton import NewtonParams, newton_solve
+from ..timestepping.tableaux import Tableau, alexander2
+from .common import make_scalar_context
+
+Array = Any
+
+
+def partition_volume_tables(ctx: DistContext, vt: VolumeTables) -> VolumeTables:
+    """Element tables -> flat (K*B_E, ...) sharded layout (pad rows zero,
+    so padded elements contribute nothing through qw/qfactor)."""
+    put = lambda a: ctx.put_sharded(jnp.asarray(
+        ctx.partition_elem(np.asarray(a))))
+    return VolumeTables(
+        shape=jnp.asarray(vt.shape),            # (nq, n) — replicated
+        gradphi=put(vt.gradphi),
+        qw=put(vt.qw),
+        qy=put(vt.qy),
+        dofmap=None,                            # gathers go through ctx
+    )
+
+
+@dataclasses.dataclass
+class DistPnpSystem:
+    """Compiled owner-partitioned production pipeline."""
+
+    sys: Sysparams
+    space: FunctionSpace
+    ctx: DistContext
+    pb: Array                    # (Kb,) distributed PB field
+    pb_newton_iterations: int
+    uphi0: Array                 # (Kb,)
+    uc0: Array                   # (2, Kb) stacked (c+, c-)
+    species_step: Callable       # (uphi, uc) -> (uc', iters)
+    poisson_solve: Callable      # (uphi, uc) -> (uphi', iters)
+    fused_step: Callable         # (uphi, uc) -> (uphi', uc')
+    scan_steps: Callable         # ((uphi, uc), n) -> (uphi', uc')
+    dt: float
+
+    def to_global(self, v) -> np.ndarray:
+        """Owner-partitioned (Kb,) -> global (ndof,) numpy (for IO)."""
+        return self.ctx.unpartition(np.asarray(v))
+
+
+def solve_pb_distributed(sys: Sysparams, space: FunctionSpace,
+                         ctx: DistContext, vt_p: VolumeTables,
+                         flux_phi: Array, free_phi: Array,
+                         verbosity: int = 0):
+    """Phase A: distributed PB Newton (reference md.hh:125-228).
+
+    Residual/Jacobian assembly through the halo-exchange gather/scatter;
+    each Newton step solves J z = r with BiCGSTAB + freshly assembled
+    Schwarz block-LU.
+    """
+    pi, l_b, c0 = sys.pi, sys.l_b, sys.c0
+
+    @jax.jit
+    def residual(u):
+        ue = ctx.gather_elem(u)
+        r_el = V.pb_residual_el(ue, vt_p, l_b, c0, sys.cylindrical, pi)
+        r = ctx.scatter_elem(r_el) + flux_phi
+        return jnp.where(free_phi, r, 0.0)
+
+    @jax.jit
+    def _solve(u, r, lin_red):
+        ue = ctx.gather_elem(u)
+        J_el = V.pb_jacobian_el(ue, vt_p, l_b, c0, sys.cylindrical, pi)
+        op = ctx.make_constrained_operator(J_el, free_phi)
+        M = SW.make_schwarz_precond(ctx, J_el, free_phi)
+        res = bicgstab(op, r, jnp.zeros_like(r), precond=M,
+                       reduction=lin_red,
+                       maxiter=sys.linearSolverIterations)
+        return res.x, res.iterations
+
+    params = NewtonParams(
+        reduction=sys.newtonReduction,
+        min_linear_reduction=sys.newtonMinLinearReduction,
+        max_iterations=sys.newtonMaxIterations,
+        line_search_max=sys.newtonLineSearchMaxIteration,
+        verbosity=verbosity)
+    u0 = jnp.zeros((ctx.Kb,))
+    # lin_red enters as a traced scalar so the per-iteration dynamic linear
+    # reduction never retriggers compilation (each TPU compile is a remote
+    # round-trip here)
+    res = newton_solve(residual, lambda u, r, lr: _solve(u, r, jnp.asarray(lr)),
+                       u0, params)
+    return res
+
+
+def build_dist_pnp_system(
+    sys: Sysparams,
+    space: FunctionSpace,
+    device_mesh,
+    tableau: Optional[Tableau] = None,
+    pb_field=None,
+) -> DistPnpSystem:
+    """Compile the owner-partitioned production pipeline over a device mesh.
+
+    ``pb_field``: optional precomputed GLOBAL (ndof,) PB field; when None,
+    phase A runs the distributed PB Newton.
+    """
+    tab = tableau if tableau is not None else alexander2()
+    dt = sys.tau
+    pi = sys.pi
+    a_tab = [[float(v) for v in row] for row in tab.A]
+    b_tab = [[float(v) for v in row] for row in tab.B]
+    stages = tab.stages
+    uniform_diag = all(
+        a_tab[i][i + 1] == a_tab[0][1] and b_tab[i][i + 1] == b_tab[0][1]
+        for i in range(stages))
+
+    ctx = build_dist_context(space, device_mesh)
+    put_vec = lambda x: ctx.put_sharded(jnp.asarray(ctx.partition(
+        np.asarray(x))))
+
+    # ---- constraints + boundary tables (host-built, partitioned once) ----
+    ctx_phi = make_scalar_context(sys, space, component=0, quad_order=3)
+    pad = ctx.pad_mask_flat()
+    free_phi = ctx.put_sharded(jnp.asarray(
+        ctx.partition(np.asarray(ctx_phi.free).astype(np.int8)).astype(bool)
+        & pad))
+    flux_phi = put_vec(ctx_phi.flux_vector)
+    free_pair = ctx.put_sharded(jnp.asarray(np.stack([
+        ctx.partition(np.asarray(C.free_dof_mask(space, sys, c)
+                                 ).astype(np.int8)).astype(bool) & pad
+        for c in (1, 2)])), axis=1)
+    g_pair = ctx.put_sharded(jnp.asarray(np.stack([
+        ctx.partition(np.asarray(C.dirichlet_dof_values(space, sys, c)))
+        for c in (1, 2)])), axis=1)
+
+    # ---- element tables (quad orders per reference, degree-scaled) -------
+    vt_p = partition_volume_tables(ctx, ctx_phi.vt)
+    vt2 = partition_volume_tables(
+        ctx, build_volume_tables(space, max(2, 2 * space.degree)))
+    vt5 = partition_volume_tables(
+        ctx, build_volume_tables(space, max(5, 2 * space.degree + 1)))
+
+    # ---- Phase A: PB bootstrap -------------------------------------------
+    if pb_field is None:
+        pb_res = solve_pb_distributed(sys, space, ctx, vt_p, flux_phi,
+                                      free_phi, verbosity=sys.verbosity)
+        pb, pb_iters = pb_res.u, pb_res.iterations
+    else:
+        pb, pb_iters = put_vec(pb_field), 0
+
+    # ---- Phase B: initial fields from the PB solution --------------------
+    pb_g = ctx.unpartition(np.asarray(pb))
+    uphi0 = put_vec(C.interpolate_with_pb_fallback(space, sys, 0, pb_g))
+    uc0 = ctx.put_sharded(jnp.asarray(np.stack([
+        ctx.partition(np.asarray(
+            C.interpolate_with_pb_fallback(space, sys, c, pb_g)))
+        for c in (1, 2)])), axis=1)
+
+    # ---- Phase C: operators + the constant Poisson factorization ---------
+    M_el = V.mass_jacobian_el(vt5, 1.0, False, pi)        # ref: planar mass
+    A_phi = V.poisson_jacobian_el(vt_p, sys.cylindrical, pi)
+    M_phi = SW.make_schwarz_precond(ctx, A_phi, free_phi)
+    op_phi = ctx.make_constrained_operator(A_phi, free_phi)
+
+    def _build_K_pair(uphi_):
+        xe = ctx.gather_elem(uphi_)                        # (F, n)
+        gphi = interp_grad(xe, vt2.gradphi)
+        K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
+        K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
+        return jnp.stack([K_cp, K_cm])                     # (2, F, n, n)
+
+    def _mass_scatter(uc_):
+        ue = ctx.gather_elem(uc_)                          # (2, F, n)
+        return ctx.scatter_elem(jnp.einsum("eij,sej->sei", M_el, ue))
+
+    def _species_step(uphi_, uc_):
+        """All DIRK stages for both species, batched (2, Kb) solves at the
+        reference's 1e-5 stage tolerance (md.hh:383-386), each BiCGSTAB +
+        Schwarz block-LU (factor shared across stages when the tableau has
+        a uniform diagonal, as Alexander2 does)."""
+        K_pair = _build_K_pair(uphi_)
+
+        def alpha_scatter(u):
+            return ctx.spmv(K_pair, u)
+
+        M_shared = None
+        if uniform_diag:
+            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+            M_shared = SW.make_schwarz_precond(ctx, A_stage, free_pair)
+
+        levels = [uc_]
+        iters = jnp.int32(0)
+        for i in range(stages):
+            a_ii, b_ii = a_tab[i][i + 1], b_tab[i][i + 1]
+            hist = jnp.zeros_like(uc_)
+            for j in range(i + 1):
+                if a_tab[i][j] != 0.0:
+                    hist = hist + a_tab[i][j] * _mass_scatter(levels[j])
+                if b_tab[i][j] != 0.0:
+                    hist = hist + dt * b_tab[i][j] * alpha_scatter(levels[j])
+            guess = jnp.where(free_pair, levels[-1], g_pair)
+            r = (hist + a_ii * _mass_scatter(guess)
+                 + dt * b_ii * alpha_scatter(guess))
+            r = jnp.where(free_pair, r, 0.0)
+            A_el = a_ii * M_el[None] + (dt * b_ii) * K_pair
+            op = ctx.make_constrained_operator(A_el, free_pair)
+            M = M_shared if M_shared is not None else (
+                SW.make_schwarz_precond(ctx, A_el, free_pair))
+            res = bicgstab(op, r, jnp.zeros_like(r), precond=M,
+                           reduction=1e-5,
+                           maxiter=sys.linearSolverIterations)
+            levels.append(guess - res.x)
+            iters = iters + jnp.max(res.iterations)
+        return levels[-1], iters
+
+    def _poisson_solve(uphi_, uc_):
+        """SLP apply at tolerance 1e-10 (reference md.hh:349-350)."""
+        ue = ctx.gather_elem(uphi_)
+        r_el = V.poisson_residual_el(
+            ue, ctx.gather_elem(uc_[0]), ctx.gather_elem(uc_[1]),
+            vt_p, sys.l_b, sys.cylindrical, pi)
+        r = ctx.scatter_elem(r_el) + flux_phi
+        r = jnp.where(free_phi, r, 0.0)
+        res = bicgstab(op_phi, r, jnp.zeros_like(r), precond=M_phi,
+                       reduction=1e-10,
+                       maxiter=sys.linearSolverIterations)
+        return uphi_ - res.x, res.iterations
+
+    def _fused_step(uphi_, uc_):
+        uc_, _ = _species_step(uphi_, uc_)
+        uphi_, _ = _poisson_solve(uphi_, uc_)
+        return uphi_, uc_
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def scan_steps(state, n_steps: int):
+        def body(carry, _):
+            return _fused_step(*carry), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return DistPnpSystem(
+        sys=sys, space=space, ctx=ctx, pb=pb,
+        pb_newton_iterations=pb_iters, uphi0=uphi0, uc0=uc0,
+        species_step=jax.jit(_species_step),
+        poisson_solve=jax.jit(_poisson_solve),
+        fused_step=jax.jit(_fused_step),
+        scan_steps=scan_steps, dt=dt)
