@@ -76,9 +76,9 @@ class PnpSystem:
     scan_steps: Callable         # ((uphi, ucp, ucm), n) -> (uphi', ucp', ucm')
     ionflux_tables: Any
     dt: float
-    # LU-amortized species stepping (None when the dense path is off):
-    species_factor: Any = None       # (uphi) -> lu_piv
-    species_step_reuse: Any = None   # (lu_piv, uphi, ucp, ucm) -> (...)
+    # factor-amortized species stepping (None when the dense path is off):
+    species_factor: Any = None       # (uphi) -> f32 stage-matrix inverses
+    species_step_reuse: Any = None   # (factor, uphi, ucp, ucm) -> (...)
 
 
 def build_pnp_system(
@@ -88,8 +88,13 @@ def build_pnp_system(
     device_mesh=None,
     pb_field=None,
     dense_poisson_threshold: int = 8192,
+    stage_reduction: float = 1e-5,
 ) -> PnpSystem:
     """Compile the production pipeline.
+
+    ``stage_reduction``: relative tolerance of the species stage solves
+    (reference: 1e-5, src/instationary_pnp_from_pb_md.hh:383-386; tighter
+    values are used by golden regeneration to bound trajectory slack).
 
     ``dense_poisson_threshold``: the decoupled Poisson matrix is constant
     across the run, so for ndof at or below this bound its constrained
@@ -193,21 +198,65 @@ def build_pnp_system(
         K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
         return jnp.stack([K_cp, K_cm])
 
+    # ---- fast dense stage assembly (P1): rank-1 drift as one MXU matmul --
+    # For P1 both grad(phi) and the basis gradients are constant per
+    # element, so the drift block is rank-1: A_drift[e,i,j] =
+    # v (gphi_e . g_ei) w_ej with w_ej = sum_q f_eq shape_qj independent of
+    # phi. The dense drift matrix is then D = U^T W with U[e, dof_ei] =
+    # gphi_e . g_ei — ONE (N,E)x(E,N) f32 matmul per step instead of a
+    # 2-D scatter of all element blocks (measured 18.4 ms -> ~3 ms at the
+    # pore problem size). The constant part a M + dt b K_diff is assembled,
+    # constrained, and cast once at setup. f32 assembly error lands in the
+    # preconditioner only — stage solutions are refined against the exact
+    # f64 element operator (solvers/direct.py).
+    use_fast_dense = use_dense_species and space.degree == 1
+    if use_fast_dense:
+        E2 = vt2.dofmap.shape[0]
+        w_el = jnp.einsum("eq,qj->ej", vt2.qw, vt2.shape)
+        g_el = vt2.gradphi[:, 0]                       # (E, n, 2)
+        eidx = jnp.arange(E2)[:, None]
+        W32 = jnp.zeros((E2, ndof), jnp.float32).at[
+            eidx, vt2.dofmap].set(w_el.astype(jnp.float32))
+        A0_el = a_tab[0][1] * M_el + (dt * b_tab[0][1]) * V.laplace_jacobian_el(vt2)
+        A0m32 = FA.dense_constrained_matrix_batched(
+            jnp.broadcast_to(A0_el, (2,) + A0_el.shape), vt2.dofmap, ndof,
+            free_pair).astype(jnp.float32)
+        fpair32 = free_pair.astype(jnp.float32)
+        # keep every term f32 — an f64 coefficient would promote the whole
+        # (2, N, N) stage matrix to f64 before the f32 inversion
+        coef_pair = (dt * b_tab[0][1]) * jnp.asarray([+1.0, -1.0],
+                                                     jnp.float32)
+
     def _species_factor(uphi_):
-        """Batched f32 LU of the stage matrices at the current potential.
+        """Batched f32 explicit inverses of the stage matrices at the
+        current potential (solvers/direct.py:batched_inv_f32 — applies are
+        MXU matvecs).
 
-        The factorization is reusable across steps as a refinement
-        preconditioner while phi drifts (refinement checks exact f64
-        residuals, so correctness never depends on LU freshness — only
-        the refinement count does; the driver refactorizes adaptively)."""
-        from ..solvers.direct import batched_lu_factor_f32
-        K_pair = _build_K_pair(uphi_)
-        A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-        A_dense = FA.dense_constrained_matrix_batched(
-            A_stage, vt2.dofmap, ndof, free_pair)
-        return batched_lu_factor_f32(A_dense)
+        The factor is reusable across steps as a refinement preconditioner
+        while phi drifts (refinement checks exact f64 residuals, so
+        correctness never depends on freshness — only the refinement count
+        does; the driver refactorizes adaptively)."""
+        from ..solvers.direct import batched_inv_f32
+        if use_fast_dense:
+            phi_e = uphi_[vt2.dofmap]
+            gphi_e = jnp.einsum("ei,eid->ed", phi_e, g_el)
+            u_el = jnp.einsum("ed,eid->ei", gphi_e, g_el)
+            U32 = jnp.zeros((E2, ndof), jnp.float32).at[
+                eidx, vt2.dofmap].set(u_el.astype(jnp.float32))
+            # HIGHEST: true-f32 accumulation (TPU default would assemble
+            # the preconditioner matrix at bf16 accuracy)
+            D = jnp.matmul(U32.T, W32,
+                           precision=jax.lax.Precision.HIGHEST)  # (N, N)
+            A_dense = A0m32 + coef_pair[:, None, None] * (
+                fpair32[:, :, None] * fpair32[:, None, :] * D[None])
+        else:
+            K_pair = _build_K_pair(uphi_)
+            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+            A_dense = FA.dense_constrained_matrix_batched(
+                A_stage, vt2.dofmap, ndof, free_pair)
+        return batched_inv_f32(A_dense)
 
-    def _species_pair_onestep(K_pair, u_old, lu_piv=None):
+    def _species_pair_onestep(K_pair, u_old, factor=None):
         """All DIRK stages for BOTH species as one batched system (2, ndof).
 
         Linear stage solves at tol 1e-5 per reference :383-386. Batching
@@ -235,11 +284,11 @@ def build_pnp_system(
             return FA.spmv_batched(K_pair, u, vt2.dofmap, ndof)
 
         solve_direct = None
-        if use_dense_species and lu_piv is not None:
-            from ..solvers.direct import make_lu_refine_solver
+        if use_dense_species and factor is not None:
+            from ..solvers.direct import make_inv_refine_solver
             A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-            solve_direct = make_lu_refine_solver(
-                lu_piv, A_stage, vt2.dofmap, ndof, free_pair)
+            solve_direct = make_inv_refine_solver(
+                factor, A_stage, vt2.dofmap, ndof, free_pair)
 
         levels = [u_old]
         iters = jnp.int32(0)
@@ -255,7 +304,7 @@ def build_pnp_system(
             r = hist + a_ii * mass_scatter(guess) + dt * b_ii * alpha_scatter(guess)
             r = jnp.where(free_pair, r, 0.0)
             if solve_direct is not None:
-                z, k = solve_direct(r, 1e-5)
+                z, k = solve_direct(r, stage_reduction)
                 levels.append(guess - z)
                 iters = iters + k
                 continue
@@ -266,7 +315,7 @@ def build_pnp_system(
             dg = jnp.zeros((2, ndof)).at[:, vt2.dofmap.ravel()].add(
                 dg.reshape(2, -1))
             dg = jnp.where(free_pair, dg, 1.0)
-            res = krylov(op, r, jnp.zeros_like(r), dg, 1e-5,
+            res = krylov(op, r, jnp.zeros_like(r), dg, stage_reduction,
                          lam=lam_species)
             levels.append(guess - res.x)
             iters = iters + res.iterations
@@ -276,17 +325,17 @@ def build_pnp_system(
         """Fresh factorization + step (simple path; see also the reuse
         pair species_factor/species_step_reuse for amortized LU)."""
         K_pair = _build_K_pair(uphi_)
-        lu_piv = _species_factor(uphi_) if use_dense_species else None
+        factor = _species_factor(uphi_) if use_dense_species else None
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
-                                           lu_piv)
+                                           factor)
         return out[0], out[1], iters
 
-    def _species_step_reuse(lu_piv, uphi_, ucp_, ucm_):
-        """Step with a possibly-stale LU preconditioner (refinement counts
-        rise as phi drifts; correctness is residual-checked)."""
+    def _species_step_reuse(factor, uphi_, ucp_, ucm_):
+        """Step with a possibly-stale inverse preconditioner (refinement
+        counts rise as phi drifts; correctness is residual-checked)."""
         K_pair = _build_K_pair(uphi_)
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
-                                           lu_piv)
+                                           factor)
         return out[0], out[1], iters
 
     def _poisson_residual(uphi_, ucp_, ucm_):
@@ -364,6 +413,7 @@ def run_instationary_pnp_from_pb(
     resume: bool = False,
     flux_convention: str = "reference",
     presolve_potential: bool = False,
+    stage_reduction: float = 1e-5,
 ) -> PnpRunResult:
     """Run phases A-D. ``presolve_potential`` is a deviation switch: the
     reference's first species step sees the raw Dirichlet bias jump
@@ -371,7 +421,8 @@ def run_instationary_pnp_from_pb(
     before the loop replaces that discontinuity with the smooth potential
     of the initial concentrations and tames the violent early transient."""
     n_steps = sys.nSteps if n_steps is None else n_steps
-    system = build_pnp_system(sys, space, tableau, device_mesh)
+    system = build_pnp_system(sys, space, tableau, device_mesh,
+                              stage_reduction=stage_reduction)
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
     dt = system.dt
     if presolve_potential:

@@ -63,12 +63,26 @@ def main():
     save_golden(f"{OUT}/cylinder_pnp.npz", phi=phi, cp=cp, cm=cm)
     print("cylinder done")
 
-    # pore_pnp: 3 production steps
+    # pore_pnp: 3 production steps. Two snapshots:
+    #   pore_pnp3.npz       — production stage tolerance (1e-5): pins
+    #                         DETERMINISM of the shipped configuration;
+    #   pore_pnp3_tight.npz — stage solves at 1e-12: the trajectory
+    #                         "truth" the production run must stay near
+    #                         (ACCURACY pin — solver-implementation
+    #                         independent). The oscillatory pore transient
+    #                         amplifies stage slack ~50x over 3 steps, so
+    #                         the production run sits ~5e-4 from truth.
     cfg = read_config(f"{REF}/pore_pnp/pore.cfg")
     space = FunctionSpace(read_gmsh(cfg.meshfile), 1)
     r = run_instationary_pnp_from_pb(cfg, space, n_steps=3)
     save_golden(f"{OUT}/pore_pnp3.npz", phi=r.phi, cp=r.cp, cm=r.cm)
-    print("pore done")
+    rt = run_instationary_pnp_from_pb(cfg, space, n_steps=3,
+                                      stage_reduction=1e-12)
+    save_golden(f"{OUT}/pore_pnp3_tight.npz", phi=rt.phi, cp=rt.cp, cm=rt.cm)
+    from pnp_tpu.validation import relative_l2
+    slack = {k: float(relative_l2(space, getattr(r, k), getattr(rt, k)))
+             for k in ("phi", "cp", "cm")}
+    print("pore done; production-vs-tight slack:", slack)
 
     # coarse pore: stationary diffusion on the pore_without_dna config
     cfg = read_config(f"{REF}/pore_without_dna/pore.cfg")
