@@ -170,21 +170,45 @@ def build_pnp_system(
         # dense matrices for host-side f64 inversion (TPU XLA implements
         # LU only for f32, so the inverses are computed with numpy and
         # shipped back — a one-time setup cost)
-        A_dense = P_dense = None
+        A_dense = M4_dense = rhs_bc = None
         if use_dense_poisson:
             A_dense = FA.dense_constrained_matrix(
                 A_phi, vt_phi.dofmap, ndof, ctx_phi.free)
-        return M, A_phi, d_phi, l_phi * 1.2, l_sp * 1.2, A_dense, P_dense
+            # charge-coupling mass matrix: the Poisson residual is affine
+            # in w = (cm - cp), r = A u + M4 w + flux; assemble M4 dense
+            # with Dirichlet rows zeroed (columns stay — Dirichlet species
+            # dofs contribute to the load)
+            M4_el = V.mass_jacobian_el(vt_phi, 4.0 * sys.l_b * pi,
+                                       sys.cylindrical, pi)
+            M4_dense = jnp.zeros((ndof, ndof)).at[
+                vt_phi.dofmap[:, :, None], vt_phi.dofmap[:, None, :]
+            ].add(M4_el) * ctx_phi.free.astype(jnp.float64)[:, None]
+            u_bc = jnp.where(ctx_phi.free, 0.0, ctx_phi.dirichlet)
+            rhs_bc = ctx_phi.constrain(
+                FA.spmv(A_phi, u_bc, vt_phi.dofmap, ndof)
+                + ctx_phi.flux_vector)
+        return M, A_phi, d_phi, l_phi * 1.2, l_sp * 1.2, A_dense, M4_dense, rhs_bc
 
     _uniform_stage_diag = all(
         a_tab[i][i + 1] == a_tab[0][1] and b_tab[i][i + 1] == b_tab[0][1]
         for i in range(stages))
     (M_el, A_phi_el, diag_phi, lam_phi, lam_species,
-     A_phi_dense, P_species_dense) = _setup(uphi0)
-    Ainv_phi = None
+     A_phi_dense, M4_phi_dense, rhs_bc_phi) = _setup(uphi0)
+    # ---- exact affine Poisson solve (constant operator) -------------------
+    # The SLP re-solve (tol 1e-10, reference :349-350) on the CONSTANT
+    # decoupled-Poisson operator has the closed form
+    #   phi* = q + P (cm - cp),   P = -Ainv_c M4,  q = u_bc - Ainv_c r(u_bc)
+    # (exact for any current phi: the linear problem's solution is unique).
+    # One (N,N)@(N,) matvec per re-solve replaces residual assembly + two
+    # inverse applies (measured 17 ms -> ~1 ms at the pore size). Ainv is
+    # a one-time host f64 inversion (XLA TPU has no f64 LU).
+    P_phi = q_phi = None
     if A_phi_dense is not None:
-        Ainv_phi = jnp.asarray(np.linalg.inv(np.asarray(A_phi_dense)))
-    del P_species_dense
+        Ainv_np = np.linalg.inv(np.asarray(A_phi_dense))
+        u_bc_np = np.where(np.asarray(ctx_phi.free), 0.0,
+                           np.asarray(ctx_phi.dirichlet))
+        P_phi = jnp.asarray(-(Ainv_np @ np.asarray(M4_phi_dense)))
+        q_phi = jnp.asarray(u_bc_np - Ainv_np @ np.asarray(rhs_bc_phi))
     op_phi = FA.make_constrained_operator(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
 
     free_pair = jnp.stack([free_cp, free_cm])      # (2, ndof)
@@ -192,7 +216,7 @@ def build_pnp_system(
 
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
-    def _build_K_pair(uphi_):
+    def _build_K_pair_generic(uphi_):
         gphi = interp_grad(uphi_[vt2.dofmap], vt2.gradphi)
         K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
         K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
@@ -217,7 +241,8 @@ def build_pnp_system(
         eidx = jnp.arange(E2)[:, None]
         W32 = jnp.zeros((E2, ndof), jnp.float32).at[
             eidx, vt2.dofmap].set(w_el.astype(jnp.float32))
-        A0_el = a_tab[0][1] * M_el + (dt * b_tab[0][1]) * V.laplace_jacobian_el(vt2)
+        K_diff_el = V.laplace_jacobian_el(vt2)         # constant stiffness
+        A0_el = a_tab[0][1] * M_el + (dt * b_tab[0][1]) * K_diff_el
         A0m32 = FA.dense_constrained_matrix_batched(
             jnp.broadcast_to(A0_el, (2,) + A0_el.shape), vt2.dofmap, ndof,
             free_pair).astype(jnp.float32)
@@ -226,6 +251,46 @@ def build_pnp_system(
         # (2, N, N) stage matrix to f64 before the f32 inversion
         coef_pair = (dt * b_tab[0][1]) * jnp.asarray([+1.0, -1.0],
                                                      jnp.float32)
+        pm_pair = jnp.asarray([+1.0, -1.0])[:, None, None, None]
+
+    def _drift_u_el(uphi_):
+        """P1 rank-1 drift row factor u_el[e,i] = grad(phi)_e . grad(N_i)_e
+        (both constant per element — the drift block is u_el w_el^T)."""
+        gphi_e = jnp.einsum("ei,eid->ed", uphi_[vt2.dofmap], g_el)
+        return jnp.einsum("ed,eid->ei", gphi_e, g_el)
+
+    def _build_K_pair(uphi_, u_el=None):
+        """Species drift-diffusion element Jacobians for z = +-1.
+
+        P1 fast path: K = K_diff +- u_el w_el^T exploits that the drift is
+        rank-1 per element (same identity as the dense assembly below) —
+        same values as the generic einsum path up to FP reassociation."""
+        if not use_fast_dense:
+            return _build_K_pair_generic(uphi_)
+        if u_el is None:
+            u_el = _drift_u_el(uphi_)
+        drift = u_el[:, :, None] * w_el[:, None, :]
+        return K_diff_el[None] + pm_pair * drift[None]
+
+    def _species_dense_f32(uphi_, u_el=None):
+        """Batched f32 constrained dense stage matrices at the current
+        potential (the preconditioner target; exactness lives in the f64
+        element blocks used by refinement)."""
+        if use_fast_dense:
+            if u_el is None:
+                u_el = _drift_u_el(uphi_)
+            U32 = jnp.zeros((E2, ndof), jnp.float32).at[
+                eidx, vt2.dofmap].set(u_el.astype(jnp.float32))
+            # HIGHEST: true-f32 accumulation (TPU default would assemble
+            # the preconditioner matrix at bf16 accuracy)
+            D = jnp.matmul(U32.T, W32,
+                           precision=jax.lax.Precision.HIGHEST)  # (N, N)
+            return A0m32 + coef_pair[:, None, None] * (
+                fpair32[:, :, None] * fpair32[:, None, :] * D[None])
+        K_pair = _build_K_pair(uphi_)
+        A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+        return FA.dense_constrained_matrix_batched(
+            A_stage, vt2.dofmap, ndof, free_pair).astype(jnp.float32)
 
     def _species_factor(uphi_):
         """Batched f32 explicit inverses of the stage matrices at the
@@ -237,24 +302,7 @@ def build_pnp_system(
         correctness never depends on freshness — only the refinement count
         does; the driver refactorizes adaptively)."""
         from ..solvers.direct import batched_inv_f32
-        if use_fast_dense:
-            phi_e = uphi_[vt2.dofmap]
-            gphi_e = jnp.einsum("ei,eid->ed", phi_e, g_el)
-            u_el = jnp.einsum("ed,eid->ei", gphi_e, g_el)
-            U32 = jnp.zeros((E2, ndof), jnp.float32).at[
-                eidx, vt2.dofmap].set(u_el.astype(jnp.float32))
-            # HIGHEST: true-f32 accumulation (TPU default would assemble
-            # the preconditioner matrix at bf16 accuracy)
-            D = jnp.matmul(U32.T, W32,
-                           precision=jax.lax.Precision.HIGHEST)  # (N, N)
-            A_dense = A0m32 + coef_pair[:, None, None] * (
-                fpair32[:, :, None] * fpair32[:, None, :] * D[None])
-        else:
-            K_pair = _build_K_pair(uphi_)
-            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-            A_dense = FA.dense_constrained_matrix_batched(
-                A_stage, vt2.dofmap, ndof, free_pair)
-        return batched_inv_f32(A_dense)
+        return batched_inv_f32(_species_dense_f32(uphi_))
 
     def _species_pair_onestep(K_pair, u_old, factor=None):
         """All DIRK stages for BOTH species as one batched system (2, ndof).
@@ -324,8 +372,12 @@ def build_pnp_system(
     def _species_step(uphi_, ucp_, ucm_):
         """Fresh factorization + step (simple path; see also the reuse
         pair species_factor/species_step_reuse for amortized LU)."""
-        K_pair = _build_K_pair(uphi_)
-        factor = _species_factor(uphi_) if use_dense_species else None
+        u_el = _drift_u_el(uphi_) if use_fast_dense else None
+        K_pair = _build_K_pair(uphi_, u_el)
+        factor = None
+        if use_dense_species:
+            from ..solvers.direct import batched_inv_f32
+            factor = batched_inv_f32(_species_dense_f32(uphi_, u_el))
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
                                            factor)
         return out[0], out[1], iters
@@ -348,13 +400,11 @@ def build_pnp_system(
     def _poisson_solve(uphi_, ucp_, ucm_):
         """SLP apply at tolerance 1e-10 (reference :349-350).
 
-        Dense path: z = Ainv r with one residual refinement — two MXU
-        matmuls + one SpMV, machine-precision residual, no solver loop."""
+        Dense path: the exact affine form phi* = q + P (cm - cp) — one
+        matvec, no residual assembly, no solver loop (see setup above)."""
+        if P_phi is not None:
+            return q_phi + P_phi @ (ucm_ - ucp_), jnp.int32(1)
         r = _poisson_residual(uphi_, ucp_, ucm_)
-        if Ainv_phi is not None:
-            z = Ainv_phi @ r
-            z = z + Ainv_phi @ (r - op_phi(z))
-            return uphi_ - z, jnp.int32(2)
         res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10,
                      lam=lam_phi)
         return uphi_ - res.x, res.iterations
