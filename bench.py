@@ -38,12 +38,10 @@ def run(n_meas: int = 10):
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
 
     def step(uphi, ucp, ucm):
-        # fresh stage factorization each step: measured faster than
-        # LU-reuse-with-refinement on the production transient (phi moves
-        # every step, so a stale LU forces refactor+redo plus host syncs)
-        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
-        uphi, _ = system.poisson_solve(uphi, ucp, ucm)
-        return uphi, ucp, ucm
+        # the production step (potentialUpdateFreq=1 in pore.cfg): fresh
+        # stage factorization + species DIRK stages + exact Poisson re-solve
+        # as ONE program — what the driver time loop runs
+        return system.fused_step(uphi, ucp, ucm)
 
     # warmup/compile
     for _ in range(2):

@@ -74,8 +74,13 @@ def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
     def solve(r: Array, reduction: float):
         norm0 = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True))
         tol = reduction * jnp.maximum(norm0, 1e-300)
+        # unroll the first refinement unconditionally: at production stage
+        # tolerances the loop runs >=1 iteration every step, and each
+        # while_loop round-trip pays a latency-bound norm+cond evaluation
         x0 = apply_m(r)
         r0 = r - op(x0)
+        x1 = x0 + apply_m(r0)
+        r1 = r - op(x1)
 
         def cond(state):
             x, rk, k = state
@@ -89,7 +94,7 @@ def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
             rk = r - op(x)
             return (x, rk, k + 1)
 
-        x, rk, k = jax.lax.while_loop(cond, body, (x0, r0, jnp.int32(1)))
+        x, rk, k = jax.lax.while_loop(cond, body, (x1, r1, jnp.int32(2)))
         return x, k
 
     return solve

@@ -320,18 +320,25 @@ def build_pnp_system(
         iterative path remains for large meshes / sharded runs.
         """
 
-        def mass(u):
-            return jnp.einsum("eij,sej->sei", M_el, u[:, vt5.dofmap])
+        # per-level mass/alpha scatters are cached: Alexander2 reuses
+        # mass(levels[0]) in both stage residuals, and each while-loop-free
+        # scatter chain costs fixed latency on TPU
+        ms_cache, as_cache = {}, {}
 
-        def mass_scatter(u):
-            ye = mass(u)
-            return jnp.zeros((2, ndof)).at[:, vt5.dofmap.ravel()].add(
-                ye.reshape(2, -1))
+        def mass_scatter(j, levels):
+            if j not in ms_cache:
+                ye = jnp.einsum("eij,sej->sei", M_el, levels[j][:, vt5.dofmap])
+                ms_cache[j] = jnp.zeros((2, ndof)).at[
+                    :, vt5.dofmap.ravel()].add(ye.reshape(2, -1))
+            return ms_cache[j]
 
-        def alpha_scatter(u):
-            return FA.spmv_batched(K_pair, u, vt2.dofmap, ndof)
+        def alpha_scatter(j, levels):
+            if j not in as_cache:
+                as_cache[j] = FA.spmv_batched(K_pair, levels[j], vt2.dofmap,
+                                              ndof)
+            return as_cache[j]
 
-        solve_direct = None
+        solve_direct = A_stage = None
         if use_dense_species and factor is not None:
             from ..solvers.direct import make_inv_refine_solver
             A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
@@ -345,11 +352,20 @@ def build_pnp_system(
             hist = jnp.zeros((2, ndof))
             for j in range(i + 1):
                 if a_tab[i][j] != 0.0:
-                    hist = hist + a_tab[i][j] * mass_scatter(levels[j])
+                    hist = hist + a_tab[i][j] * mass_scatter(j, levels)
                 if b_tab[i][j] != 0.0:
-                    hist = hist + dt * b_tab[i][j] * alpha_scatter(levels[j])
+                    hist = hist + dt * b_tab[i][j] * alpha_scatter(j, levels)
             guess = jnp.where(free_pair, levels[-1], g_pair)
-            r = hist + a_ii * mass_scatter(guess) + dt * b_ii * alpha_scatter(guess)
+            if A_stage is not None:
+                # guess's mass + alpha terms share the stage blocks (uniform
+                # diagonal) and the dofmap: ONE gather/einsum/scatter pass
+                r = hist + FA.spmv_batched(A_stage, guess, vt2.dofmap, ndof)
+            else:
+                ye = jnp.einsum("eij,sej->sei", M_el, guess[:, vt5.dofmap])
+                mg = jnp.zeros((2, ndof)).at[:, vt5.dofmap.ravel()].add(
+                    ye.reshape(2, -1))
+                r = hist + a_ii * mg + dt * b_ii * FA.spmv_batched(
+                    K_pair, guess, vt2.dofmap, ndof)
             r = jnp.where(free_pair, r, 0.0)
             if solve_direct is not None:
                 z, k = solve_direct(r, stage_reduction)
@@ -505,10 +521,13 @@ def run_instationary_pnp_from_pb(
     # species_factor/species_step_reuse remain available for slowly-varying
     # regimes
     for i in range(start_step, n_steps):
-        ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
-        time += dt
         if i % sys.potentialUpdateFreq == 0:
-            uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+            # one program for species stages + Poisson re-solve (saves a
+            # dispatch + host sync vs separate calls)
+            uphi, ucp, ucm = system.fused_step(uphi, ucp, ucm)
+        else:
+            ucp, ucm, _ = system.species_step(uphi, ucp, ucm)
+        time += dt
         if i % sys.outputFreq == 0:
             output_counter += 1
             ip, im = calc_ion_flux(system.ionflux_tables, uphi, ucp, ucm,
