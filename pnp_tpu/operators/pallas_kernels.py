@@ -140,3 +140,151 @@ def pad_to_tile(arr, tile: int = ELEM_TILE, fill=0.0):
         return arr
     width = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
     return jnp.pad(arr, width, constant_values=fill)
+
+
+# ---------------------------------------------------------------------------
+# Batched dense inverse: blocked Gauss-Jordan as ONE Pallas program.
+#
+# Why: the species stage solve inverts the (2, N, N) f32 stage matrices every
+# production step (solvers/direct.py). XLA's getrf+getri walks N/128 panels
+# as XLA-level loop steps, each paying the TPU's fixed per-op dispatch
+# latency, and serializes over the batch — measured 25.5 ms at (2, 3048).
+# Inside one Pallas program the same panel walk is grid steps with ~us
+# overhead and the work is MXU matmuls on VMEM-resident tiles.
+#
+# Algorithm: in-place blocked Gauss-Jordan WITHOUT pivoting (the stage
+# matrices are mass+diffusion dominated with identity Dirichlet rows; the
+# caller's f64 iterative refinement residual-checks every solve, so a
+# quality loss would only raise refinement counts, never break results).
+# For pivot block k with P = inv(A[k,k]):
+#     A[k, :]  <- P A[k, j!=k],  A[k,k] <- P
+#     A[i, :] -= A[i,k] (P A[k,j!=k]),  A[i,k] <- -A[i,k] P     (i != k)
+# After all K = N/B steps A holds inv(A).
+#
+# Grid: (S, K, NI) sequential; step (s, k, i) owns row block
+# r = (k+i) mod NI. At i=0 the block IS the pivot row: P and the scratch
+# row R = [P A[k,j!=k] | P] are computed from it and written back in the
+# same step; later i only read their own row block + scratch.
+#
+# The matrix lives in HBM as the OUTPUT buffer (seeded from the input via
+# input_output_aliases) and row blocks move via explicit in-kernel DMA:
+# automatic block pipelining cannot express in-place read-after-write
+# across grid steps (the pipelined input prefetch reads stale data — and
+# interpret mode reads the pre-donation copy), while explicit DMAs on the
+# out ref are sequenced by their semaphores.
+# ---------------------------------------------------------------------------
+
+GJ_BLOCK = 128
+
+
+def _gj_inv_small(Pbuf, n: int):
+    """In-place unblocked Gauss-Jordan inverse of the (n, n) VMEM block
+    ``Pbuf`` (no pivoting), vectorized row elimination per iteration."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def body(r, _):
+        M = Pbuf[:]
+        piv = Pbuf[pl.ds(r, 1), pl.ds(r, 1)]               # (1, 1)
+        ipiv = 1.0 / piv
+        rowvec = Pbuf[pl.ds(r, 1), :] * ipiv               # (1, n)
+        c = Pbuf[:, pl.ds(r, 1)]                           # (n, 1)
+        rmask = rows == r
+        cmask = cols == r
+        M1 = M - c * rowvec                                # rank-1 eliminate
+        M1 = jnp.where(rmask, rowvec, M1)                  # pivot row
+        colvals = jnp.where(rmask, ipiv, -c * ipiv)        # pivot column
+        Pbuf[:] = jnp.where(cmask, colvals, M1)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _make_gj_kernel(NI: int, B: int, N: int):
+    def kernel(in_ref, out_ref, Pbuf, Rbuf, rowbuf, sem):
+        del in_ref  # seeds out_ref via input_output_aliases; never read
+        s = pl.program_id(0)
+        k = pl.program_id(1)
+        i = pl.program_id(2)
+        r = jax.lax.rem(k + i, jnp.int32(NI))
+        kofs = pl.multiple_of(k * B, B)
+        rofs = pl.multiple_of(r * B, B)
+
+        load = pltpu.make_async_copy(
+            out_ref.at[s, pl.ds(rofs, B), :], rowbuf, sem)
+        load.start()
+        load.wait()
+
+        @pl.when(i == 0)
+        def _():
+            # the block is the pivot row: invert A[k,k], build the scratch
+            # row R = [P A[k,:] with P in the k-block] in place
+            Pbuf[:] = rowbuf[:, pl.ds(kofs, B)]
+            _gj_inv_small(Pbuf, B)
+            Rbuf[:] = jax.lax.dot_general(
+                Pbuf[:], rowbuf[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            Rbuf[:, pl.ds(kofs, B)] = Pbuf[:]
+            rowbuf[:] = Rbuf[:]
+
+        @pl.when(i != 0)
+        def _():
+            row = rowbuf[:]                                # (B, N)
+            C = rowbuf[:, pl.ds(kofs, B)]                  # (B, B)
+            new = row - jax.lax.dot_general(
+                C, Rbuf[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            rowbuf[:] = new
+            # k-block columns: target is -C P; the update above left
+            # (C - C P) there, so subtract the original C
+            rowbuf[:, pl.ds(kofs, B)] = (
+                jax.lax.dynamic_slice(
+                    new, (jnp.zeros((), kofs.dtype), kofs), (B, B)) - C)
+
+        store = pltpu.make_async_copy(
+            rowbuf, out_ref.at[s, pl.ds(rofs, B), :], sem)
+        store.start()
+        store.wait()
+
+    return kernel
+
+
+def batched_inverse_pallas(A: Array, interpret: bool = False) -> Array:
+    """Explicit inverses of a batch of dense f32 matrices, one Pallas
+    program (blocked no-pivot Gauss-Jordan; see block comment above).
+
+    A: (S, N, N) float32. N is padded internally to a multiple of 128 with
+    identity rows/cols (exact: inv(blockdiag(A, I)) = blockdiag(inv(A), I)).
+    """
+    S, N0, _ = A.shape
+    B = GJ_BLOCK
+    N = ((N0 + B - 1) // B) * B
+    if N != N0:
+        pad = N - N0
+        A = jnp.pad(A, ((0, 0), (0, pad), (0, pad)))
+        eye_pad = jnp.zeros((N,), A.dtype).at[N0:].set(1.0)
+        A = A + jnp.diag(eye_pad)[None]
+    NI = N // B
+    grid = (S, NI, NI)
+
+    out = pl.pallas_call(
+        _make_gj_kernel(NI, B, N),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((S, N, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, B), jnp.float32),
+            pltpu.VMEM((B, N), jnp.float32),
+            pltpu.VMEM((B, N), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(A)
+    return out[:, :N0, :N0] if N != N0 else out
