@@ -179,25 +179,38 @@ GJ_BLOCK = 128
 
 def _gj_inv_small(Pbuf, n: int):
     """In-place unblocked Gauss-Jordan inverse of the (n, n) VMEM block
-    ``Pbuf`` (no pivoting), vectorized row elimination per iteration."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    ``Pbuf`` (no pivoting), vectorized row elimination per iteration.
+
+    Mosaic constraints shape the implementation: every ``jnp.where``
+    predicate is built at the FULL operand shape (jax 0.9 Mosaic lowers
+    sub-shape bool broadcasts through a bool->int32 convert that recurses
+    forever), and the pivot value / pivot column are extracted by masked
+    reduction instead of lane-dynamic slicing (single-lane dynamic slices
+    are not 128-aligned). The loop bounds/carry are pinned to i32: the
+    engine runs with x64 enabled, under which plain-int ``fori_loop``
+    bounds become weak i64 — and jax 0.9 Mosaic lowers the resulting
+    i64->i32 index demotion through a convert helper that self-recurses."""
 
     def body(r, _):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         M = Pbuf[:]
-        piv = Pbuf[pl.ds(r, 1), pl.ds(r, 1)]               # (1, 1)
-        ipiv = 1.0 / piv
-        rowvec = Pbuf[pl.ds(r, 1), :] * ipiv               # (1, n)
-        c = Pbuf[:, pl.ds(r, 1)]                           # (n, 1)
+        cmask = cols == r                                  # (n, n)
         rmask = rows == r
-        cmask = cols == r
+        rowvec_raw = Pbuf[pl.ds(r, 1), :]                  # (1, n) sublane-dyn
+        zero = jnp.zeros((), M.dtype)
+        piv = jnp.sum(jnp.where(cmask[0:1, :], rowvec_raw, zero))
+        ipiv = 1.0 / piv
+        rowvec = jnp.broadcast_to(rowvec_raw * ipiv, (n, n))
+        c = jnp.sum(jnp.where(cmask, M, zero), axis=1, keepdims=True)  # (n, 1)
         M1 = M - c * rowvec                                # rank-1 eliminate
         M1 = jnp.where(rmask, rowvec, M1)                  # pivot row
-        colvals = jnp.where(rmask, ipiv, -c * ipiv)        # pivot column
+        colvals = jnp.where(rmask, jnp.full((n, n), ipiv, M.dtype),
+                            jnp.broadcast_to(-c * ipiv, (n, n)))
         Pbuf[:] = jnp.where(cmask, colvals, M1)
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.int32(0))
 
 
 def _make_gj_kernel(NI: int, B: int, N: int):
@@ -240,10 +253,9 @@ def _make_gj_kernel(NI: int, B: int, N: int):
                 preferred_element_type=jnp.float32)
             rowbuf[:] = new
             # k-block columns: target is -C P; the update above left
-            # (C - C P) there, so subtract the original C
-            rowbuf[:, pl.ds(kofs, B)] = (
-                jax.lax.dynamic_slice(
-                    new, (jnp.zeros((), kofs.dtype), kofs), (B, B)) - C)
+            # (C - C P) there, so subtract the original C (read back via
+            # ref slicing — Mosaic has no value-level dynamic_slice)
+            rowbuf[:, pl.ds(kofs, B)] = rowbuf[:, pl.ds(kofs, B)] - C
 
         store = pltpu.make_async_copy(
             rowbuf, out_ref.at[s, pl.ds(rofs, B), :], sem)

@@ -44,3 +44,22 @@ def test_pad_to_tile():
     y = pad_to_tile(x)
     assert y.shape[0] == 2 * ELEM_TILE
     assert float(y[ELEM_TILE + 3:].sum()) == 0.0
+
+
+@pytest.mark.parametrize("S,N", [(2, 128), (2, 300), (1, 40)])
+def test_batched_inverse_pallas(S, N):
+    """Blocked no-pivot Gauss-Jordan vs f64 inverse (interpret mode).
+
+    Accuracy bar is f32-LU-level (~1e-6 residual on well-conditioned
+    operands) — the production use is a refinement preconditioner
+    (solvers/direct.py), where only the contraction rate matters."""
+    from pnp_tpu.operators.pallas_kernels import batched_inverse_pallas
+
+    rng = np.random.RandomState(0)
+    A = (rng.rand(S, N, N).astype(np.float32) * 0.1
+         + np.eye(N, dtype=np.float32)[None] * N * 0.05)
+    X = np.asarray(batched_inverse_pallas(jnp.asarray(A), interpret=True),
+                   np.float64)
+    resid = np.einsum("sij,sjk->sik", np.asarray(A, np.float64), X)
+    resid -= np.eye(N)
+    assert np.max(np.abs(resid)) < 5e-6
