@@ -1,0 +1,307 @@
+"""Single-device overlapping block preconditioner (RAS) for large meshes.
+
+The dense-inverse stage/Poisson fast path (workloads/instationary_pnp_from_pb)
+is O(ndof^2) memory and dies above ~8k dofs; the reference handles arbitrary
+mesh sizes with SSOR-preconditioned Krylov under a 20,000-iteration budget
+(src/instationary_pnp_from_pb_md.hh:188-211, test/pore_pnp/pore.cfg:6).
+Sequential SSOR sweeps don't exist on a TPU; the TPU-native equivalent of
+that robustness at scale is overlapping-block restricted additive Schwarz
+(RAS) with EXACT local solves:
+
+  * dofs are Morton-ordered and split into K contiguous owned blocks of
+    ~block_size (spatially compact, so overlap stays thin);
+  * each block's local set is its owned dofs plus every dof sharing an
+    element with them (one-element-layer overlap);
+  * the TRUE principal submatrices A[loc, loc] are assembled from the
+    element Jacobian blocks with one batched 2-D scatter and explicitly
+    inverted in f32 — batched dense inversion is the MXU's native food,
+    and each preconditioner APPLY is then a single batched matvec
+    (gather -> (K, L, L) @ (K, L) -> scatter), ~3 fused ops inside the
+    Krylov while_loop instead of latency-bound triangular sweeps;
+  * optionally a piecewise-constant-per-block Galerkin coarse level
+    (the two-level correction that removes the 1/H growth of one-level
+    Schwarz on elliptic problems).
+
+RAS (restricted scatter: each dof takes the correction from its OWNER
+block only) is the standard nonsymmetric-but-stronger variant — pair it
+with BiCGSTAB. Everything here is single-device: the multi-device analogue
+lives in solvers/schwarz.py over parallel/dist.py.
+
+Precision: local matrices/inverses are f32 (preconditioner only — Krylov
+residuals stay f64). Every f32 matmul uses precision=HIGHEST per the
+engine's TPU rule (default bf16 passes degrade contraction quality).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = Any
+
+
+def morton_order(points: np.ndarray) -> np.ndarray:
+    """Z-order permutation of 2-D points (contiguous runs are compact)."""
+    pts = np.asarray(points)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    q = np.minimum(((pts - lo) / span * 1024).astype(np.uint32), 1023)
+    code = np.zeros(len(pts), dtype=np.uint64)
+    for b in range(10):
+        code |= ((q[:, 0] >> b) & 1).astype(np.uint64) << np.uint64(2 * b)
+        code |= ((q[:, 1] >> b) & 1).astype(np.uint64) << np.uint64(2 * b + 1)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockContext:
+    """Static host-built block decomposition of a FunctionSpace.
+
+    K:          number of blocks.
+    B:          owned dofs per block (padded; pad entries = ndof).
+    L:          local set size (owned + overlap, padded; pad = ndof).
+    loc2glob:   (K, L) int32 global dof per local slot (ndof = padding).
+    elem_ids:   (K, B_E2) int32 elements touching each block (pad 0).
+    elem_dof_local: (K, B_E2, n) int32 local slot of each element dof in
+                [0, L]; L is the drop slot (dof outside the block's local
+                set, or padded element row).
+    owner:      (ndof,) int32 owning block of every dof (coarse-level map).
+    ndof:       global dof count.
+    """
+
+    K: int
+    B: int
+    L: int
+    loc2glob: Array
+    elem_ids: Array
+    elem_dof_local: Array
+    owner: Array
+    ndof: int
+
+
+def build_block_context(dofmap: np.ndarray, ndof: int,
+                        dof_coords: np.ndarray,
+                        block_size: int = 256) -> BlockContext:
+    """Host-side setup: Morton-ordered owned blocks + 1-element overlap."""
+    dofmap = np.asarray(dofmap)
+    E, n = dofmap.shape
+    perm = morton_order(np.asarray(dof_coords))
+    K = max(1, -(-ndof // block_size))
+    owner = np.empty(ndof, np.int32)
+    # balanced contiguous split of the Morton order
+    bounds = np.linspace(0, ndof, K + 1).astype(np.int64)
+    for k in range(K):
+        owner[perm[bounds[k]:bounds[k + 1]]] = k
+
+    eowner = owner[dofmap]                              # (E, n)
+    # pass 1 — local dof sets: owned dofs + every dof sharing an element
+    # with them (one-element-layer overlap)
+    seed_lists = [[] for _ in range(K)]
+    for k_col in range(n):
+        for e, k in enumerate(eowner[:, k_col]):
+            seed_lists[k].append(e)
+    seed_lists = [np.unique(np.array(l, np.int64)) for l in seed_lists]
+
+    own_lists = [perm[bounds[k]:bounds[k + 1]] for k in range(K)]
+    loc_lists, extra_counts = [], []
+    in_loc = np.zeros((K, ndof), bool)
+    for k in range(K):
+        touched = np.unique(dofmap[seed_lists[k]])
+        own_set = own_lists[k]
+        extra = np.setdiff1d(touched, own_set, assume_unique=False)
+        loc_lists.append(np.concatenate([own_set, extra]))
+        extra_counts.append(len(extra))
+        in_loc[k, loc_lists[k]] = True
+
+    # pass 2 — assembly element lists: EVERY element touching any local
+    # dof, so the assembled A[loc, loc] is the true principal submatrix
+    # (without this, overlap-dof rows are partial "floating Neumann" rows,
+    # the local matrices go near-singular, and RAS diverges)
+    elem_lists = [
+        np.where(in_loc[k][dofmap].any(axis=1))[0] for k in range(K)
+    ]
+
+    B = max(len(l) for l in own_lists)
+    L = max(B + max(extra_counts), 1)
+    B_E2 = max(max(len(l) for l in elem_lists), 1)
+
+    loc2glob = np.full((K, L), ndof, np.int64)
+    glob2loc = np.full((K, ndof), L, np.int32)
+    for k in range(K):
+        own, loc = own_lists[k], loc_lists[k]
+        # owned dofs occupy slots [0, len(own)); overlap starts at B so the
+        # owned region is a fixed [0, B) window for the RAS restriction
+        loc2glob[k, :len(own)] = own
+        glob2loc[k, own] = np.arange(len(own))
+        extra = loc[len(own):]
+        loc2glob[k, B:B + len(extra)] = extra
+        glob2loc[k, extra] = B + np.arange(len(extra))
+
+    elem_ids = np.zeros((K, B_E2), np.int64)
+    elem_dof_local = np.full((K, B_E2, n), L, np.int32)
+    for k in range(K):
+        l = elem_lists[k]
+        elem_ids[k, :len(l)] = l
+        elem_dof_local[k, :len(l)] = glob2loc[k, dofmap[l]]
+
+    return BlockContext(
+        K=K, B=B, L=L,
+        loc2glob=jnp.asarray(loc2glob.astype(np.int32)),
+        elem_ids=jnp.asarray(elem_ids.astype(np.int32)),
+        elem_dof_local=jnp.asarray(elem_dof_local),
+        owner=jnp.asarray(owner),
+        ndof=ndof)
+
+
+def build_block_context_for_space(space, block_size: int = 256) -> BlockContext:
+    return build_block_context(np.asarray(space.dofmap), space.ndof,
+                               space.dof_coords, block_size)
+
+
+def _gather_padded(ctx: BlockContext, x: Array) -> Array:
+    """x (..., ndof) -> local views (..., K, L); pad slots read 0."""
+    x_ext = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1)
+    return x_ext[..., ctx.loc2glob]
+
+
+def build_local_inverses(ctx: BlockContext, A_el: Array, free: Array,
+                         rel_shift: float = 0.0) -> Array:
+    """Batched f32 inverses of the constrained local matrices.
+
+    A_el: (E, n, n) or (S, E, n, n) element Jacobian blocks (f64 ok — cast
+    to f32 before the scatter: the result only preconditions).
+    free: (ndof,) / (S, ndof) boolean (False = Dirichlet).
+    Returns (K, L, L) / (S, K, L, L) f32 inverses with identity on
+    constrained/padded slots.
+    """
+    squeeze = A_el.ndim == 3
+    if squeeze:
+        A_el, free = A_el[None], free[None]
+    S = A_el.shape[0]
+    K, L, n = ctx.K, ctx.L, ctx.elem_dof_local.shape[2]
+
+    Ae = jnp.take(A_el.astype(jnp.float32), ctx.elem_ids.reshape(-1),
+                  axis=1).reshape(S, K, -1, n, n)
+    s_ix = jnp.arange(S)[:, None, None, None, None]
+    k_ix = jnp.arange(K)[None, :, None, None, None]
+    rows = ctx.elem_dof_local[None, :, :, :, None]
+    cols = ctx.elem_dof_local[None, :, :, None, :]
+    A = jnp.zeros((S, K, L + 1, L + 1), jnp.float32)
+    A = A.at[s_ix, k_ix, rows, cols].add(Ae)[:, :, :L, :L]
+
+    f_loc = _gather_padded(ctx, free.astype(jnp.float32))   # (S, K, L)
+    A = A * f_loc[:, :, :, None] * f_loc[:, :, None, :]
+    bump = (1.0 - f_loc)
+    if rel_shift:
+        diag = jnp.abs(jnp.einsum("skll->skl", A))
+        bump = bump + rel_shift * jnp.max(diag, axis=2,
+                                          keepdims=True) * f_loc
+    A = A + jax.vmap(jax.vmap(jnp.diag))(bump)
+    with jax.default_matmul_precision("highest"):
+        inv = jnp.linalg.inv(A.reshape(S * K, L, L)).reshape(S, K, L, L)
+    return inv[0] if squeeze else inv
+
+
+def make_ras_precond(ctx: BlockContext, inv: Array, free: Array,
+                     restricted: bool = True):
+    """M(r): gather -> batched MXU matvec -> owner-restricted scatter.
+
+    ``inv``: (K, L, L) or (S, K, L, L) f32 local inverses.
+    Accepts flat (ndof,) or batched (S, ndof) residuals (matching inv's
+    batching). Identity on constrained dofs. ``restricted=True`` (RAS)
+    takes each dof's correction from its owner block only — stronger, but
+    nonsymmetric (pair with BiCGSTAB); ``False`` adds every block's
+    correction (symmetric additive Schwarz, usable with CG on SPD A).
+    """
+    own = ctx.loc2glob[:, :ctx.B]                       # (K, B) pad = ndof
+
+    def precond(r: Array) -> Array:
+        squeeze = r.ndim == 1
+        rb = r[None] if squeeze else r                  # (S, ndof)
+        fb = free[None] if free.ndim == 1 else free
+        S = rb.shape[0]
+        r_loc = _gather_padded(ctx, jnp.where(fb, rb, 0.0))   # (S, K, L)
+        iv = inv[None] if inv.ndim == 3 else inv
+        iv = jnp.broadcast_to(iv, (S,) + iv.shape[1:])
+        z = jnp.einsum("skij,skj->ski", iv, r_loc.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST).astype(rb.dtype)
+        if restricted:
+            z_own = z[:, :, :ctx.B].reshape(S, -1)      # (S, K*B)
+            out = jnp.zeros((S, ctx.ndof), rb.dtype).at[
+                :, own.reshape(-1)].add(z_own, mode="drop")
+        else:
+            out = jnp.zeros((S, ctx.ndof), rb.dtype).at[
+                :, ctx.loc2glob.reshape(-1)].add(z.reshape(S, -1),
+                                                 mode="drop")
+        out = jnp.where(fb, out, rb)
+        return out[0] if squeeze else out
+
+    return precond
+
+
+def build_coarse_inverse(ctx: BlockContext, A_el: Array, dofmap: Array,
+                         free: Array) -> Array:
+    """f32 inverse of the piecewise-constant Galerkin coarse matrix.
+
+    Coarse space: one constant per block over its owned FREE dofs; the
+    coarse matrix is assembled directly from element blocks by owner id
+    (constrained dofs dumped into a drop row). Returns (K, K) or (S, K, K).
+    """
+    squeeze = A_el.ndim == 3
+    if squeeze:
+        A_el, free = A_el[None], free[None]
+    S = A_el.shape[0]
+    K = ctx.K
+    o = jnp.where(free, ctx.owner[None, :], K)          # (S, ndof)
+    eo = o[:, dofmap]                                    # (S, E, n)
+    s_ix = jnp.arange(S)[:, None, None, None]
+    Ac = jnp.zeros((S, K + 1, K + 1), jnp.float32)
+    Ac = Ac.at[s_ix, eo[:, :, :, None], eo[:, :, None, :]].add(
+        A_el.astype(jnp.float32))[:, :K, :K]
+    # empty blocks (all-Dirichlet) -> identity
+    d = jnp.einsum("skk->sk", Ac)
+    Ac = Ac + jax.vmap(jnp.diag)(jnp.where(jnp.abs(d) > 0.0, 0.0, 1.0)
+                                 + 1e-6 * jnp.abs(d))
+    with jax.default_matmul_precision("highest"):
+        inv = jnp.linalg.inv(Ac)
+    return inv[0] if squeeze else inv
+
+
+def make_two_level_precond(ctx: BlockContext, inv: Array, coarse_inv: Array,
+                           op, free: Array):
+    """Multiplicative RAS + piecewise-constant coarse correction.
+
+    z1 = RAS(r); z = z1 + P Ac^-1 R (r - A z1). One extra operator apply
+    per call; removes the one-level 1/H iteration growth on elliptic
+    operators. Nonsymmetric — pair with BiCGSTAB.
+    """
+    ras = make_ras_precond(ctx, inv, free)
+    K = ctx.K
+
+    def coarse(r: Array) -> Array:
+        rb = r[None] if r.ndim == 1 else r
+        S = rb.shape[0]
+        o = jnp.where(free, ctx.owner, K)
+        ob = jnp.broadcast_to(o if o.ndim == 2 else o[None], rb.shape)
+        rc = jnp.zeros((S, K + 1), rb.dtype).at[
+            jnp.arange(S)[:, None], ob].add(rb)[:, :K]
+        ci = coarse_inv if coarse_inv.ndim == 3 else coarse_inv[None]
+        zc = jnp.einsum("skj,sj->sk", ci.astype(rb.dtype), rc,
+                        precision=jax.lax.Precision.HIGHEST)
+        zc_ext = jnp.concatenate([zc, jnp.zeros((S, 1), rb.dtype)], axis=1)
+        z = jnp.take_along_axis(zc_ext, ob, axis=1)
+        z = jnp.where(free, z, 0.0)
+        return z[0] if r.ndim == 1 else z
+
+    def precond(r: Array) -> Array:
+        z1 = ras(r)
+        resid = r - op(z1)
+        resid = jnp.where(free, resid, 0.0)
+        return z1 + coarse(resid)
+
+    return precond

@@ -89,6 +89,7 @@ def build_pnp_system(
     pb_field=None,
     dense_poisson_threshold: int = 8192,
     stage_reduction: float = 1e-5,
+    ras_block_size: int = 256,
 ) -> PnpSystem:
     """Compile the production pipeline.
 
@@ -104,12 +105,23 @@ def build_pnp_system(
     Set to 0 to force the iterative path (used for very large meshes and
     by the multi-device configuration, where the dense inverse would be
     replicated).
+
+    Above the threshold (the LARGE-MESH path) the default BCGS_SSORk
+    variant maps to BiCGSTAB + overlapping block-RAS with exact f32 local
+    solves (solvers/block_ras.py, block size ``ras_block_size``) — the
+    TPU-native stand-in for the reference's SSOR robustness at scale
+    (src/instationary_pnp_from_pb_md.hh:188-211): a two-level variant for
+    the constant Poisson operator (factored once) and a per-step
+    refactored one-level variant for the advection-dominated species
+    stage systems.
     """
     tab = tableau if tableau is not None else alexander2()
     dt = sys.tau
     pi = sys.pi
     use_dense_poisson = (space.ndof <= dense_poisson_threshold
                          and device_mesh is None)
+    use_block_ras = (device_mesh is None and not use_dense_poisson
+                     and sys.linearSolver == "BCGS_SSORk")
 
     # ---- Phase A: PB bootstrap ------------------------------------------
     if pb_field is None:
@@ -214,6 +226,24 @@ def build_pnp_system(
     free_pair = jnp.stack([free_cp, free_cm])      # (2, ndof)
     g_pair = jnp.stack([g_cp, g_cm])
 
+    # ---- large-mesh block-RAS setup ---------------------------------------
+    ctx_ras = M_phi_ras = None
+    if use_block_ras:
+        from ..solvers import block_ras as BR
+        from ..solvers.krylov import bicgstab
+        ctx_ras = BR.build_block_context_for_space(space, ras_block_size)
+
+        @jax.jit  # one program: every eager op pays a TPU compile round-trip
+        def _ras_phi_setup(A_el_):
+            inv = BR.build_local_inverses(ctx_ras, A_el_, ctx_phi.free)
+            cinv = BR.build_coarse_inverse(ctx_ras, A_el_, vt_phi.dofmap,
+                                           ctx_phi.free)
+            return inv, cinv
+
+        _inv_phi, _cinv_phi = _ras_phi_setup(A_phi_el)
+        M_phi_ras = BR.make_two_level_precond(ctx_ras, _inv_phi, _cinv_phi,
+                                              op_phi, ctx_phi.free)
+
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
     def _build_K_pair_generic(uphi_):
@@ -304,7 +334,7 @@ def build_pnp_system(
         from ..solvers.direct import batched_inv_f32
         return batched_inv_f32(_species_dense_f32(uphi_))
 
-    def _species_pair_onestep(K_pair, u_old, factor=None):
+    def _species_pair_onestep(K_pair, u_old, factor=None, ras_inv=None):
         """All DIRK stages for BOTH species as one batched system (2, ndof).
 
         Linear stage solves at tol 1e-5 per reference :383-386. Batching
@@ -375,6 +405,18 @@ def build_pnp_system(
             A_el = a_ii * M_el[None] + (dt * b_ii) * K_pair
             op = FA.make_constrained_operator_batched(A_el, vt2.dofmap, ndof,
                                                       free_pair)
+            if use_block_ras:
+                from ..solvers import block_ras as BR
+                from ..solvers.krylov import bicgstab
+                inv_s = ras_inv
+                if inv_s is None:  # non-uniform tableau diagonal
+                    inv_s = BR.build_local_inverses(ctx_ras, A_el, free_pair)
+                M_s = BR.make_ras_precond(ctx_ras, inv_s, free_pair)
+                res = bicgstab(op, r, jnp.zeros_like(r), M_s,
+                               stage_reduction, sys.linearSolverIterations)
+                levels.append(guess - res.x)
+                iters = iters + res.iterations
+                continue
             dg = jnp.einsum("seii->sei", A_el)
             dg = jnp.zeros((2, ndof)).at[:, vt2.dofmap.ravel()].add(
                 dg.reshape(2, -1))
@@ -390,12 +432,17 @@ def build_pnp_system(
         pair species_factor/species_step_reuse for amortized LU)."""
         u_el = _drift_u_el(uphi_) if use_fast_dense else None
         K_pair = _build_K_pair(uphi_, u_el)
-        factor = None
+        factor = ras_inv = None
         if use_dense_species:
             from ..solvers.direct import batched_inv_f32
             factor = batched_inv_f32(_species_dense_f32(uphi_, u_el))
+        elif use_block_ras and _uniform_stage_diag:
+            # one batched local factorization serves every DIRK stage
+            from ..solvers import block_ras as BR
+            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+            ras_inv = BR.build_local_inverses(ctx_ras, A_stage, free_pair)
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
-                                           factor)
+                                           factor, ras_inv)
         return out[0], out[1], iters
 
     def _species_step_reuse(factor, uphi_, ucp_, ucm_):
@@ -417,10 +464,17 @@ def build_pnp_system(
         """SLP apply at tolerance 1e-10 (reference :349-350).
 
         Dense path: the exact affine form phi* = q + P (cm - cp) — one
-        matvec, no residual assembly, no solver loop (see setup above)."""
+        matvec, no residual assembly, no solver loop (see setup above).
+        Large-mesh path: BiCGSTAB + two-level block-RAS (constant
+        operator — local/coarse factors from setup)."""
         if P_phi is not None:
             return q_phi + P_phi @ (ucm_ - ucp_), jnp.int32(1)
         r = _poisson_residual(uphi_, ucp_, ucm_)
+        if M_phi_ras is not None:
+            from ..solvers.krylov import bicgstab
+            res = bicgstab(op_phi, r, jnp.zeros_like(r), M_phi_ras, 1e-10,
+                           sys.linearSolverIterations)
+            return uphi_ - res.x, res.iterations
         res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10,
                      lam=lam_phi)
         return uphi_ - res.x, res.iterations
@@ -480,6 +534,8 @@ def run_instationary_pnp_from_pb(
     flux_convention: str = "reference",
     presolve_potential: bool = False,
     stage_reduction: float = 1e-5,
+    dense_poisson_threshold: int = 8192,
+    ras_block_size: int = 256,
 ) -> PnpRunResult:
     """Run phases A-D. ``presolve_potential`` is a deviation switch: the
     reference's first species step sees the raw Dirichlet bias jump
@@ -488,7 +544,9 @@ def run_instationary_pnp_from_pb(
     of the initial concentrations and tames the violent early transient."""
     n_steps = sys.nSteps if n_steps is None else n_steps
     system = build_pnp_system(sys, space, tableau, device_mesh,
-                              stage_reduction=stage_reduction)
+                              stage_reduction=stage_reduction,
+                              dense_poisson_threshold=dense_poisson_threshold,
+                              ras_block_size=ras_block_size)
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
     dt = system.dt
     if presolve_potential:

@@ -41,7 +41,14 @@ def make_pb_residual(ctx: ScalarContext):
     return residual
 
 
-def make_pb_linear_solver(ctx: ScalarContext):
+def make_pb_linear_solver(ctx: ScalarContext, ras_threshold: int = 8192,
+                          ras_block_size: int = 256):
+    """Per-iteration Jacobian assembly + Krylov solve.
+
+    Above ``ras_threshold`` dofs the BCGS_SSORk variant uses the
+    overlapping block-RAS preconditioner (solvers/block_ras.py) rebuilt
+    from the fresh PB Jacobian each Newton iteration — the large-mesh
+    stand-in for SSOR (same mapping as the production driver)."""
     sys = ctx.sys
     amg_ctx = None
     if sys.linearSolver == "CG_AMG_SSOR":
@@ -49,12 +56,24 @@ def make_pb_linear_solver(ctx: ScalarContext):
         amg_ctx = make_amg_context(ctx.dofmap, ctx.ndof, ctx.free)
     krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations,
                                 amg_ctx=amg_ctx)
+    ctx_ras = None
+    if sys.linearSolver == "BCGS_SSORk" and ctx.ndof > ras_threshold:
+        from ..solvers import block_ras as BR
+        ctx_ras = BR.build_block_context_for_space(ctx.space, ras_block_size)
 
     @jax.jit
     def solve(u, r, reduction):
         ue = u[ctx.dofmap]
         A_el = V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical, sys.pi)
         op = A.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
+        if ctx_ras is not None:
+            from ..solvers import block_ras as BR
+            from ..solvers.krylov import bicgstab
+            inv = BR.build_local_inverses(ctx_ras, A_el, ctx.free)
+            M = BR.make_ras_precond(ctx_ras, inv, ctx.free)
+            res = bicgstab(op, ctx.constrain(r), jnp.zeros_like(r), M,
+                           reduction, sys.linearSolverIterations)
+            return res.x, res.iterations
         diag = A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
         res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), diag, reduction,
                      A_el=A_el)
