@@ -104,11 +104,23 @@ def main(argv=None) -> int:
         res = run_instationary_pnp(sys_cfg, space, n_steps=args.steps)
         print(f"[pnp_tpu] explicit run: {res.steps} steps, dt={res.dt:.3e}, "
               f"t={res.time:.3e}")
+    elif device_mesh is not None:
+        # -n > 1: the v2 owner-partitioned production driver (dof vectors
+        # sharded by owner, packed halo exchange, distributed Schwarz)
+        from .workloads.distributed_pnp import run_distributed_pnp_from_pb
+        res = run_distributed_pnp_from_pb(
+            sys_cfg, space, device_mesh, n_steps=args.steps,
+            output_dir=args.output_dir, checkpoint_path=args.checkpoint,
+            checkpoint_freq=args.checkpoint_freq, resume=args.resume)
+        dofs = 3 * space.ndof * res.steps
+        dt = time.perf_counter() - t0
+        print(f"[pnp_tpu] {res.steps} steps on {res.n_devices} devices in "
+              f"{dt:.2f}s ({dofs / dt:,.0f} assembled-solved DOFs/s)")
     else:
         from .workloads.instationary_pnp_from_pb import run_instationary_pnp_from_pb
         res = run_instationary_pnp_from_pb(
             sys_cfg, space, n_steps=args.steps, output_dir=args.output_dir,
-            device_mesh=device_mesh, checkpoint_path=args.checkpoint,
+            checkpoint_path=args.checkpoint,
             checkpoint_freq=args.checkpoint_freq, resume=args.resume)
         dofs = 3 * space.ndof * res.steps
         dt = time.perf_counter() - t0

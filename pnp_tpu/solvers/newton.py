@@ -34,6 +34,13 @@ class NewtonParams:
     line_search_max: int = 500
     line_search_damping: float = 0.5
     verbosity: int = 0
+    # PDELab setReassembleThreshold (bound by the reference at
+    # src/instationary_pnp_from_pb_md.hh:218 from cfg key
+    # ``newtonReassembleThreshold``): the Jacobian (and its
+    # preconditioner) is reassembled only when defect/prev_defect >
+    # threshold — fast-converging iterations reuse the stale factors.
+    # 0.0 (the shipped configs' value) always reassembles.
+    reassemble_threshold: float = 0.0
 
 
 @dataclasses.dataclass
@@ -44,6 +51,7 @@ class NewtonResult:
     iterations: int
     converged: bool
     linear_iterations: int = 0
+    jacobian_builds: int = 0
 
 
 def _defect(r: Array) -> Array:
@@ -55,6 +63,8 @@ def newton_solve(
     linear_solve_fn: Callable[[Array, Array, float], tuple],
     u0: Array,
     params: NewtonParams,
+    assemble_fn: Callable[[Array], Any] = None,
+    assembled_solve_fn: Callable[[Any, Array, float], tuple] = None,
 ) -> NewtonResult:
     """Solve residual_fn(u) = 0.
 
@@ -62,7 +72,17 @@ def newton_solve(
     ``linear_solve_fn``: (u, r, linear_reduction) -> (z, lin_iters) solving
       J(u) z = r with homogeneous constraints (z = 0 on Dirichlet dofs);
       it owns Jacobian assembly + preconditioner setup.
+
+    ``assemble_fn``/``assembled_solve_fn`` (both or neither): split form
+    enabling ``params.reassemble_threshold`` — ``assemble_fn(u)`` builds
+    the Jacobian context (element blocks + preconditioner factors),
+    ``assembled_solve_fn(jac_ctx, r, lin_red)`` solves with it. When the
+    last defect reduction rate defect/prev_defect <= threshold the stale
+    context is reused (PDELab Newton ``prepare_step`` semantics).
     """
+    split = assemble_fn is not None
+    assert split == (assembled_solve_fn is not None), (
+        "assemble_fn and assembled_solve_fn come as a pair")
     u = u0
     r = residual_fn(u)
     defect0 = float(_defect(r))
@@ -73,18 +93,29 @@ def newton_solve(
 
     line_search = _make_line_search(residual_fn, params)
     total_lin = 0
+    jac_builds = 0
+    jac_ctx = None
     prev_defect = defect
     for it in range(params.max_iterations):
         if defect <= params.reduction * defect0 or defect <= params.abs_limit:
             return NewtonResult(u=u, defect=defect, initial_defect=defect0,
                                 iterations=it, converged=True,
-                                linear_iterations=total_lin)
+                                linear_iterations=total_lin,
+                                jacobian_builds=jac_builds)
         if it == 0:
             lin_red = params.min_linear_reduction
         else:
             lin_red = min(params.min_linear_reduction,
                           (defect / prev_defect) ** 2)
-        z, lin_iters = linear_solve_fn(u, r, lin_red)
+        if split:
+            rate = defect / prev_defect if it > 0 else float("inf")
+            if jac_ctx is None or rate > params.reassemble_threshold:
+                jac_ctx = assemble_fn(u)
+                jac_builds += 1
+            z, lin_iters = assembled_solve_fn(jac_ctx, r, lin_red)
+        else:
+            z, lin_iters = linear_solve_fn(u, r, lin_red)
+            jac_builds += 1
         total_lin += int(lin_iters)
         prev_defect = defect
         u, r, defect_arr = line_search(u, z, jnp.asarray(defect))
@@ -98,7 +129,7 @@ def newton_solve(
     converged = defect <= params.reduction * defect0 or defect <= params.abs_limit
     return NewtonResult(u=u, defect=defect, initial_defect=defect0,
                         iterations=params.max_iterations, converged=bool(converged),
-                        linear_iterations=total_lin)
+                        linear_iterations=total_lin, jacobian_builds=jac_builds)
 
 
 def _make_line_search(residual_fn, params: NewtonParams):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -33,9 +34,12 @@ from ..config import Sysparams
 from ..fem import constraints as C
 from ..fem.geometry import VolumeTables, build_volume_tables
 from ..fem.space import FunctionSpace
+from ..io.checkpoint import load_checkpoint, save_checkpoint
+from ..io.writers import CurrentWriter, write_dat, write_vtu
 from ..operators import volume as V
 from ..operators.common import interp_grad
 from ..parallel.dist import DistContext, build_dist_context
+from ..postprocess.ionflux import build_ionflux_tables, calc_ion_flux
 from ..solvers import schwarz as SW
 from ..solvers.krylov import bicgstab
 from ..solvers.newton import NewtonParams, newton_solve
@@ -280,3 +284,135 @@ def build_dist_pnp_system(
         poisson_solve=jax.jit(_poisson_solve),
         fused_step=jax.jit(_fused_step),
         scan_steps=scan_steps, dt=dt)
+
+
+@dataclasses.dataclass
+class DistPnpRunResult:
+    """Phase-D result of the distributed driver; fields are GLOBAL numpy."""
+
+    phi: np.ndarray
+    cp: np.ndarray
+    cm: np.ndarray
+    time: float
+    steps: int
+    pb_newton_iterations: int
+    current_history: list      # [(time, ip(n_surf,), im(n_surf,)), ...]
+    space: FunctionSpace
+    n_devices: int
+
+
+def run_distributed_pnp_from_pb(
+    sys: Sysparams,
+    space: FunctionSpace,
+    device_mesh,
+    n_steps: Optional[int] = None,
+    output_dir: Optional[str] = None,
+    tableau: Optional[Tableau] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_freq: int = 0,
+    resume: bool = False,
+    flux_convention: str = "reference",
+    presolve_potential: bool = False,
+    pb_field=None,
+) -> DistPnpRunResult:
+    """The multi-chip production driver: phases A-D owner-partitioned.
+
+    Mirrors ``run_instationary_pnp_from_pb`` (reference phase D,
+    src/instationary_pnp_from_pb_md.hh:421-456): species step each tau,
+    Poisson re-solve at potentialUpdateFreq cadence, ion flux + .dat/.vtu
+    writers + current.dat every outputFreq, final Poisson solve. State
+    stays owner-partitioned on the device mesh; output-cadence work
+    gathers to host (``ctx.unpartition``) — ion flux, writers, and
+    checkpoints all operate on the reconstructed GLOBAL vectors, so
+    current.dat is bit-comparable across device counts.
+
+    Checkpoints are written in the single-chip global format
+    (io/checkpoint.py) — a run may be checkpointed under one device count
+    and resumed under another (the partitioning is derived state).
+    """
+    n_steps = sys.nSteps if n_steps is None else n_steps
+    system = build_dist_pnp_system(sys, space, device_mesh,
+                                   tableau=tableau, pb_field=pb_field)
+    ctx = system.ctx
+    uphi, uc = system.uphi0, system.uc0
+    dt = system.dt
+    if presolve_potential:
+        uphi, _ = system.poisson_solve(uphi, uc)
+
+    ionflux_tables = build_ionflux_tables(space, sys.cylindrical, sys.pi,
+                                          sys.n_surfaces)
+    put_vec = lambda x: ctx.put_sharded(jnp.asarray(ctx.partition(
+        np.asarray(x))))
+
+    time = 0.0
+    start_step = 0
+    if resume and checkpoint_path:
+        ck = load_checkpoint(checkpoint_path, sys)
+        if ck is not None:
+            uphi = put_vec(ck["phi"])
+            uc = ctx.put_sharded(jnp.asarray(np.stack([
+                ctx.partition(ck["cp"]), ctx.partition(ck["cm"])])), axis=1)
+            time, start_step = ck["time"], ck["step"]
+
+    def to_host(uphi_, uc_):
+        return (ctx.unpartition(np.asarray(uphi_)),
+                ctx.unpartition(np.asarray(uc_[0])),
+                ctx.unpartition(np.asarray(uc_[1])))
+
+    current_writer = None
+    output_counter = 0
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        current_writer = CurrentWriter(os.path.join(output_dir, "current.dat"))
+        phi_g, cp_g, cm_g = to_host(uphi, uc)
+        write_dat(space, phi_g, os.path.join(output_dir, "phi.dat"))
+        write_dat(space, cp_g, os.path.join(output_dir, "cp.dat"))
+        write_dat(space, cm_g, os.path.join(output_dir, "cm.dat"))
+
+    history = []
+    for i in range(start_step, n_steps):
+        if i % sys.potentialUpdateFreq == 0:
+            uphi, uc = system.fused_step(uphi, uc)
+        else:
+            uc, _ = system.species_step(uphi, uc)
+        time += dt
+        if i % sys.outputFreq == 0:
+            output_counter += 1
+            phi_g, cp_g, cm_g = to_host(uphi, uc)
+            ip, im = calc_ion_flux(ionflux_tables, jnp.asarray(phi_g),
+                                   jnp.asarray(cp_g), jnp.asarray(cm_g),
+                                   convention=flux_convention)
+            history.append((time, np.asarray(ip), np.asarray(im)))
+            if output_dir:
+                for name, vec in (("phi", phi_g), ("cp", cp_g), ("cm", cm_g)):
+                    write_dat(space, vec, os.path.join(
+                        output_dir, f"{name}{output_counter:03d}.dat"))
+                write_vtu(space, {"phi": phi_g, "cp": cp_g, "cm": cm_g},
+                          os.path.join(output_dir,
+                                       f"data{output_counter:03d}.vtu"))
+                current_writer.write(time, ip, im)
+        if checkpoint_path and checkpoint_freq and (i + 1) % checkpoint_freq == 0:
+            phi_g, cp_g, cm_g = to_host(uphi, uc)
+            save_checkpoint(checkpoint_path, sys, i + 1, time,
+                            phi_g, cp_g, cm_g)
+        # failure guard (same policy as the single-chip driver): detect
+        # non-finite state, dump an emergency checkpoint, abort diagnosably
+        if (i + 1) % 16 == 0 or i + 1 == n_steps:
+            if not bool(jnp.isfinite(uphi).all() & jnp.isfinite(uc).all()):
+                if checkpoint_path:
+                    phi_g, cp_g, cm_g = to_host(uphi, uc)
+                    save_checkpoint(checkpoint_path + ".emergency", sys,
+                                    i + 1, time, phi_g, cp_g, cm_g)
+                raise FloatingPointError(
+                    f"non-finite state at step {i + 1} (t={time:g}); "
+                    "reduce tau or enable presolve_potential")
+
+    uphi, _ = system.poisson_solve(uphi, uc)   # final solve (ref :454)
+    if current_writer:
+        current_writer.close()
+    phi_g, cp_g, cm_g = to_host(uphi, uc)
+    return DistPnpRunResult(
+        phi=phi_g, cp=cp_g, cm=cm_g, time=time, steps=n_steps,
+        pb_newton_iterations=system.pb_newton_iterations,
+        current_history=history, space=space,
+        n_devices=int(device_mesh.devices.size))

@@ -43,11 +43,14 @@ def test_sharded_tables_pad_and_place(one_wall):
 
 @needs_8
 def test_sharded_step_matches_single(one_wall):
+    import dataclasses
     sys, space = one_wall
+    # this test checks the collective arithmetic, not solver-path
+    # equivalence: force BOTH builds onto the same iterative path (the
+    # dense-LU fast path is single-device-only, and BCGS_SSORk would map
+    # the single-device iterative build to block-RAS instead of Chebyshev)
+    sys = dataclasses.replace(sys, linearSolver="BCGS_NOPREC")
     pb0 = jnp.zeros(space.ndof)
-    # force the iterative path on the single-device build too: the sharded
-    # build never uses the dense-LU fast path, and this test checks the
-    # collective arithmetic, not solver-path equivalence
     single = build_pnp_system(sys, space, pb_field=pb0,
                               dense_poisson_threshold=0)
     mesh = make_device_mesh(8)
