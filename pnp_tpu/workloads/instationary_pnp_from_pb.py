@@ -155,6 +155,24 @@ def build_pnp_system(
     ndof = space.ndof
 
     krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
+    krylov_phi = krylov_sp = krylov
+    if sys.linearSolver == "CG_AMG_SSOR" and not use_dense_poisson:
+        # the AMG-class variant gets real aggregation contexts on BOTH
+        # iterative paths (one per constraint-mask family); the element
+        # Jacobian blocks are passed at the call sites below
+        from ..solvers.amg import make_amg_context
+        free_cp_np = np.asarray(C.free_dof_mask(space, sys, 1))
+        free_cm_np = np.asarray(C.free_dof_mask(space, sys, 2))
+        krylov_phi = make_krylov_solver(
+            sys.linearSolver, sys.linearSolverIterations,
+            amg_ctx=make_amg_context(np.asarray(space.dofmap), space.ndof,
+                                     np.asarray(ctx_phi.free),
+                                     dof_coords=space.dof_coords))
+        krylov_sp = make_krylov_solver(
+            sys.linearSolver, sys.linearSolverIterations,
+            amg_ctx=make_amg_context(np.asarray(space.dofmap), space.ndof,
+                                     np.stack([free_cp_np, free_cm_np]),
+                                     dof_coords=space.dof_coords))
     a_tab = [[float(v) for v in row] for row in tab.A]
     b_tab = [[float(v) for v in row] for row in tab.B]
     stages = tab.stages
@@ -421,8 +439,8 @@ def build_pnp_system(
             dg = jnp.zeros((2, ndof)).at[:, vt2.dofmap.ravel()].add(
                 dg.reshape(2, -1))
             dg = jnp.where(free_pair, dg, 1.0)
-            res = krylov(op, r, jnp.zeros_like(r), dg, stage_reduction,
-                         lam=lam_species)
+            res = krylov_sp(op, r, jnp.zeros_like(r), dg, stage_reduction,
+                            lam=lam_species, A_el=A_el)
             levels.append(guess - res.x)
             iters = iters + res.iterations
         return levels[-1], iters
@@ -475,8 +493,8 @@ def build_pnp_system(
             res = bicgstab(op_phi, r, jnp.zeros_like(r), M_phi_ras, 1e-10,
                            sys.linearSolverIterations)
             return uphi_ - res.x, res.iterations
-        res = krylov(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10,
-                     lam=lam_phi)
+        res = krylov_phi(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10,
+                         lam=lam_phi, A_el=A_phi_el)
         return uphi_ - res.x, res.iterations
 
     def _fused_step(uphi_, ucp_, ucm_):

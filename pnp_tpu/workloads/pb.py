@@ -41,19 +41,23 @@ def make_pb_residual(ctx: ScalarContext):
     return residual
 
 
-def make_pb_linear_solver(ctx: ScalarContext, ras_threshold: int = 8192,
-                          ras_block_size: int = 256):
-    """Per-iteration Jacobian assembly + Krylov solve.
+def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
+                           ras_block_size: int = 256):
+    """Split (assemble, solve) pair for the reassemble-threshold Newton.
 
-    Above ``ras_threshold`` dofs the BCGS_SSORk variant uses the
-    overlapping block-RAS preconditioner (solvers/block_ras.py) rebuilt
-    from the fresh PB Jacobian each Newton iteration — the large-mesh
-    stand-in for SSOR (same mapping as the production driver)."""
+    ``assemble(u)`` builds the Jacobian context — element blocks plus the
+    preconditioner factors (block-RAS local inverses above
+    ``ras_threshold`` dofs, the large-mesh stand-in for SSOR; assembled
+    diagonal below) — as ONE jitted program; ``solve(jac_ctx, r, red)``
+    runs the configured Krylov variant with it. ``newtonReassembleThreshold``
+    (reference binding src/instationary_pnp_from_pb_md.hh:218) skips
+    ``assemble`` on fast-converging iterations."""
     sys = ctx.sys
     amg_ctx = None
     if sys.linearSolver == "CG_AMG_SSOR":
         from ..solvers.amg import make_amg_context
-        amg_ctx = make_amg_context(ctx.dofmap, ctx.ndof, ctx.free)
+        amg_ctx = make_amg_context(ctx.dofmap, ctx.ndof, ctx.free,
+                                   dof_coords=ctx.space.dof_coords)
     krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations,
                                 amg_ctx=amg_ctx)
     ctx_ras = None
@@ -62,24 +66,44 @@ def make_pb_linear_solver(ctx: ScalarContext, ras_threshold: int = 8192,
         ctx_ras = BR.build_block_context_for_space(ctx.space, ras_block_size)
 
     @jax.jit
-    def solve(u, r, reduction):
+    def assemble(u):
         ue = u[ctx.dofmap]
-        A_el = V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical, sys.pi)
+        A_el = V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical,
+                                sys.pi)
+        if ctx_ras is not None:
+            from ..solvers import block_ras as BR
+            return A_el, BR.build_local_inverses(ctx_ras, A_el, ctx.free)
+        return A_el, A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof,
+                                            ctx.free)
+
+    @jax.jit
+    def solve(jac_ctx, r, reduction):
+        A_el, factor = jac_ctx
         op = A.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
         if ctx_ras is not None:
             from ..solvers import block_ras as BR
             from ..solvers.krylov import bicgstab
-            inv = BR.build_local_inverses(ctx_ras, A_el, ctx.free)
-            M = BR.make_ras_precond(ctx_ras, inv, ctx.free)
+            M = BR.make_ras_precond(ctx_ras, factor, ctx.free)
             res = bicgstab(op, ctx.constrain(r), jnp.zeros_like(r), M,
                            reduction, sys.linearSolverIterations)
             return res.x, res.iterations
-        diag = A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
-        res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), diag, reduction,
-                     A_el=A_el)
+        res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), factor,
+                     reduction, A_el=A_el)
         return res.x, res.iterations
 
-    return solve
+    return assemble, solve
+
+
+def make_pb_linear_solver(ctx: ScalarContext, ras_threshold: int = 8192,
+                          ras_block_size: int = 256):
+    """Combined per-iteration assembly + solve (always reassembles)."""
+    assemble, solve = make_pb_assemble_solve(ctx, ras_threshold,
+                                             ras_block_size)
+
+    def combined(u, r, reduction):
+        return solve(assemble(u), r, reduction)
+
+    return combined
 
 
 def solve_pb(sys: Sysparams, space: FunctionSpace,
@@ -95,6 +119,9 @@ def solve_pb(sys: Sysparams, space: FunctionSpace,
         max_iterations=int(sys.newtonMaxIterations),
         line_search_max=int(sys.newtonLineSearchMaxIteration),
         verbosity=sys.verbosity,
+        reassemble_threshold=sys.newtonReassembleThreshold,
     )
+    assemble, solve = make_pb_assemble_solve(ctx)
     return newton_solve(
-        make_pb_residual(ctx), make_pb_linear_solver(ctx), u0, params)
+        make_pb_residual(ctx), None, u0, params,
+        assemble_fn=assemble, assembled_solve_fn=solve)

@@ -36,7 +36,13 @@ def run_stationary_diffusion(sys: Sysparams, space: FunctionSpace,
     A_el = V.laplace_jacobian_el(ctx.vt)
     op = FA.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
     diag = FA.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
-    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations)
+    amg_ctx = None
+    if sys.linearSolver == "CG_AMG_SSOR":
+        from ..solvers.amg import make_amg_context
+        amg_ctx = make_amg_context(ctx.dofmap, ctx.ndof, ctx.free,
+                                   dof_coords=ctx.space.dof_coords)
+    krylov = make_krylov_solver(sys.linearSolver, sys.linearSolverIterations,
+                                amg_ctx=amg_ctx)
 
     if sys.printStiffnessMatrix:
         # reference flag exists but its Dune::printmatrix call is commented
@@ -52,7 +58,7 @@ def run_stationary_diffusion(sys: Sysparams, space: FunctionSpace,
     def solve(u):
         r_el = V.laplace_residual_el(u[ctx.dofmap], ctx.vt)
         r = ctx.constrain(ctx.scatter(r_el) + ctx.flux_vector)
-        res = krylov(op, r, jnp.zeros_like(r), diag, reduction)
+        res = krylov(op, r, jnp.zeros_like(r), diag, reduction, A_el=A_el)
         return u - res.x, res
 
     u, res = solve(u0)
