@@ -132,6 +132,11 @@ class DistContext:
     recv_pos: Array             # (K, K, H) sharded axis 0
     dofmap_global: np.ndarray | None = None   # (E, n) host copy
     _env_maps: tuple | None = None
+    # multi-process mode: jit may not close over arrays spanning
+    # non-addressable devices, so static tables stay HOST numpy (embedded
+    # as replicated constants; sharding constraints still partition the
+    # computation) while state vectors remain global sharded arguments
+    host_tables: bool = False
 
     @property
     def K(self):
@@ -147,12 +152,32 @@ class DistContext:
 
     # ---- placement -------------------------------------------------------
     def put_sharded(self, a, axis: int = 0) -> Array:
+        """Place a STATIC table: device-sharded normally, host numpy in
+        multi-process mode (see ``host_tables``)."""
+        if self.host_tables:
+            return np.asarray(a)
+        spec = [None] * np.ndim(a)
+        spec[axis] = "e"
+        return jax.device_put(jnp.asarray(a),
+                              NamedSharding(self.mesh, P(*spec)))
+
+    def put_global(self, a, axis: int = 0) -> Array:
+        """Place a STATE vector as a global sharded array (always device;
+        state is passed as jit arguments, which multi-process allows)."""
         spec = [None] * np.ndim(a)
         spec[axis] = "e"
         return jax.device_put(jnp.asarray(a),
                               NamedSharding(self.mesh, P(*spec)))
 
     def _pin(self, a, axis: int) -> Array:
+        if self.host_tables:
+            from jax._src.core import trace_state_clean
+            if trace_state_clean():
+                # eager call under multi-process: a constraint would turn
+                # the (addressable, process-local) result into a global
+                # array, which later jit closures may not capture; setup
+                # math stays local, jit-time constraints still partition
+                return a
         spec = [None] * a.ndim
         spec[axis] = "e"
         return jax.lax.with_sharding_constraint(
@@ -174,6 +199,20 @@ class DistContext:
         m = plan.owned_global >= 0
         out[plan.owned_global[m]] = xp[m]
         return out
+
+    def to_host_global(self, v) -> np.ndarray:
+        """Device (Kb,) / (S, Kb) -> global numpy on EVERY process.
+
+        Multi-process-safe: under jax.distributed a sharded array is not
+        fully addressable, so ``np.asarray`` would raise — gather the
+        shards across processes first (single-process falls through)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            v = multihost_utils.process_allgather(v, tiled=True)
+        v = np.asarray(v)
+        if v.ndim == 1:
+            return self.unpartition(v)
+        return np.stack([self.unpartition(row) for row in v])
 
     def partition_elem(self, arr: np.ndarray) -> np.ndarray:
         """Element array (E, ...) -> flat (K*B_E, ...) per the plan."""
@@ -306,9 +345,16 @@ class DistContext:
 
 
 def build_dist_context(space, mesh: Mesh,
-                       element_perm: np.ndarray | None = None) -> DistContext:
+                       element_perm: np.ndarray | None = None,
+                       host_tables: bool | None = None) -> DistContext:
     """Build the owner-partitioned context for a FunctionSpace over a
-    1-D device mesh (axis 'e')."""
+    1-D device mesh (axis 'e').
+
+    ``host_tables`` defaults to auto: enabled under a multi-process
+    runtime (jax.distributed), where jit may not close over global
+    device arrays."""
+    if host_tables is None:
+        host_tables = jax.process_count() > 1
     K = int(mesh.devices.size)
     dofmap = np.asarray(space.dofmap)
     if element_perm is None:
@@ -317,7 +363,7 @@ def build_dist_context(space, mesh: Mesh,
     ctx = DistContext(
         plan=plan, mesh=mesh, n=dofmap.shape[1],
         dofmap_local=None, send_idx=None, recv_pos=None,
-        dofmap_global=dofmap)
+        dofmap_global=dofmap, host_tables=host_tables)
     ctx.dofmap_local = ctx.put_sharded(
         plan.dofmap_local.reshape(K, -1).astype(np.int32))
     ctx.send_idx = ctx.put_sharded(plan.send_idx)

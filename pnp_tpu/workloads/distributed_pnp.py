@@ -81,8 +81,9 @@ class DistPnpSystem:
     dt: float
 
     def to_global(self, v) -> np.ndarray:
-        """Owner-partitioned (Kb,) -> global (ndof,) numpy (for IO)."""
-        return self.ctx.unpartition(np.asarray(v))
+        """Owner-partitioned (Kb,) -> global (ndof,) numpy (for IO);
+        multi-process-safe (gathers shards across processes)."""
+        return self.ctx.to_host_global(v)
 
 
 def solve_pb_distributed(sys: Sysparams, space: FunctionSpace,
@@ -121,7 +122,7 @@ def solve_pb_distributed(sys: Sysparams, space: FunctionSpace,
         max_iterations=sys.newtonMaxIterations,
         line_search_max=sys.newtonLineSearchMaxIteration,
         verbosity=verbosity)
-    u0 = jnp.zeros((ctx.Kb,))
+    u0 = ctx.put_global(np.zeros(ctx.Kb))
     # lin_red enters as a traced scalar so the per-iteration dynamic linear
     # reduction never retriggers compilation (each TPU compile is a remote
     # round-trip here)
@@ -153,7 +154,7 @@ def build_dist_pnp_system(
         for i in range(stages))
 
     ctx = build_dist_context(space, device_mesh)
-    put_vec = lambda x: ctx.put_sharded(jnp.asarray(ctx.partition(
+    put_vec = lambda x: ctx.put_global(jnp.asarray(ctx.partition(
         np.asarray(x))))
 
     # ---- constraints + boundary tables (host-built, partitioned once) ----
@@ -162,7 +163,8 @@ def build_dist_pnp_system(
     free_phi = ctx.put_sharded(jnp.asarray(
         ctx.partition(np.asarray(ctx_phi.free).astype(np.int8)).astype(bool)
         & pad))
-    flux_phi = put_vec(ctx_phi.flux_vector)
+    flux_phi = ctx.put_sharded(jnp.asarray(ctx.partition(    # static (closure)
+        np.asarray(ctx_phi.flux_vector))))
     free_pair = ctx.put_sharded(jnp.asarray(np.stack([
         ctx.partition(np.asarray(C.free_dof_mask(space, sys, c)
                                  ).astype(np.int8)).astype(bool) & pad
@@ -187,9 +189,9 @@ def build_dist_pnp_system(
         pb, pb_iters = put_vec(pb_field), 0
 
     # ---- Phase B: initial fields from the PB solution --------------------
-    pb_g = ctx.unpartition(np.asarray(pb))
+    pb_g = ctx.to_host_global(pb)
     uphi0 = put_vec(C.interpolate_with_pb_fallback(space, sys, 0, pb_g))
-    uc0 = ctx.put_sharded(jnp.asarray(np.stack([
+    uc0 = ctx.put_global(jnp.asarray(np.stack([
         ctx.partition(np.asarray(
             C.interpolate_with_pb_fallback(space, sys, c, pb_g)))
         for c in (1, 2)])), axis=1)
@@ -341,7 +343,7 @@ def run_distributed_pnp_from_pb(
 
     ionflux_tables = build_ionflux_tables(space, sys.cylindrical, sys.pi,
                                           sys.n_surfaces)
-    put_vec = lambda x: ctx.put_sharded(jnp.asarray(ctx.partition(
+    put_vec = lambda x: ctx.put_global(jnp.asarray(ctx.partition(
         np.asarray(x))))
 
     time = 0.0
@@ -350,18 +352,18 @@ def run_distributed_pnp_from_pb(
         ck = load_checkpoint(checkpoint_path, sys)
         if ck is not None:
             uphi = put_vec(ck["phi"])
-            uc = ctx.put_sharded(jnp.asarray(np.stack([
+            uc = ctx.put_global(jnp.asarray(np.stack([
                 ctx.partition(ck["cp"]), ctx.partition(ck["cm"])])), axis=1)
             time, start_step = ck["time"], ck["step"]
 
     def to_host(uphi_, uc_):
-        return (ctx.unpartition(np.asarray(uphi_)),
-                ctx.unpartition(np.asarray(uc_[0])),
-                ctx.unpartition(np.asarray(uc_[1])))
+        uc_g = ctx.to_host_global(uc_)
+        return ctx.to_host_global(uphi_), uc_g[0], uc_g[1]
 
+    io_rank = jax.process_index() == 0      # one writer under multi-process
     current_writer = None
     output_counter = 0
-    if output_dir:
+    if output_dir and io_rank:
         os.makedirs(output_dir, exist_ok=True)
         current_writer = CurrentWriter(os.path.join(output_dir, "current.dat"))
         phi_g, cp_g, cm_g = to_host(uphi, uc)
@@ -383,7 +385,7 @@ def run_distributed_pnp_from_pb(
                                    jnp.asarray(cp_g), jnp.asarray(cm_g),
                                    convention=flux_convention)
             history.append((time, np.asarray(ip), np.asarray(im)))
-            if output_dir:
+            if output_dir and io_rank:
                 for name, vec in (("phi", phi_g), ("cp", cp_g), ("cm", cm_g)):
                     write_dat(space, vec, os.path.join(
                         output_dir, f"{name}{output_counter:03d}.dat"))
@@ -393,13 +395,14 @@ def run_distributed_pnp_from_pb(
                 current_writer.write(time, ip, im)
         if checkpoint_path and checkpoint_freq and (i + 1) % checkpoint_freq == 0:
             phi_g, cp_g, cm_g = to_host(uphi, uc)
-            save_checkpoint(checkpoint_path, sys, i + 1, time,
-                            phi_g, cp_g, cm_g)
+            if io_rank:
+                save_checkpoint(checkpoint_path, sys, i + 1, time,
+                                phi_g, cp_g, cm_g)
         # failure guard (same policy as the single-chip driver): detect
         # non-finite state, dump an emergency checkpoint, abort diagnosably
         if (i + 1) % 16 == 0 or i + 1 == n_steps:
             if not bool(jnp.isfinite(uphi).all() & jnp.isfinite(uc).all()):
-                if checkpoint_path:
+                if checkpoint_path and io_rank:
                     phi_g, cp_g, cm_g = to_host(uphi, uc)
                     save_checkpoint(checkpoint_path + ".emergency", sys,
                                     i + 1, time, phi_g, cp_g, cm_g)
