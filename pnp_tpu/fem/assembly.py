@@ -134,3 +134,40 @@ def dense_constrained_matrix(A_el: Array, dofmap: Array, ndof: int,
     A = A * f[:, None] * f[None, :]
     A = A + jnp.diag(1.0 - f)
     return A
+
+
+def make_constrained_operator_mixed(A_el: Array, dofmap: Array, ndof: int,
+                                    free: Array):
+    """Mixed-precision constrained operator: f32 SpMV, f64 interface.
+
+    The large-mesh roadmap form (CLAUDE.md): element blocks are cast ONCE
+    to f32 (halving the dominant HBM stream of the matrix-free apply) and
+    the einsum contracts in true f32 (precision=HIGHEST — the TPU default
+    would drop the blocks to bf16 passes); Krylov vectors, dots, and
+    recurrences stay f64 in the caller. A single apply is ~1e-7-accurate
+    relative, so reductions beyond ~1e-6 need outer f64 refinement
+    (solve to 1e-5, recompute the f64 residual, re-solve — two passes
+    reach 1e-10; see workloads' Poisson path). Accepts flat (E, n, n) +
+    (ndof,) or batched (S, E, n, n) + (S, ndof) like the f64 operators.
+    """
+    A32 = A_el.astype(jnp.float32)
+    batched = A_el.ndim == 4
+
+    def op(x: Array) -> Array:
+        xi = jnp.where(free, x, 0.0).astype(jnp.float32)
+        if batched:
+            xe = xi[:, dofmap]
+            ye = jnp.einsum("seij,sej->sei", A32, xe,
+                            precision=jax.lax.Precision.HIGHEST)
+            S = x.shape[0]
+            y = jnp.zeros((S, ndof), jnp.float32).at[
+                :, dofmap.ravel()].add(ye.reshape(S, -1))
+        else:
+            xe = xi[dofmap]
+            ye = jnp.einsum("eij,ej->ei", A32, xe,
+                            precision=jax.lax.Precision.HIGHEST)
+            y = jnp.zeros((ndof,), jnp.float32).at[dofmap.ravel()].add(
+                ye.reshape(-1))
+        return jnp.where(free, y.astype(x.dtype), x)
+
+    return op

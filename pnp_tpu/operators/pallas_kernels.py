@@ -191,9 +191,10 @@ def _gj_inv_small(Pbuf, n: int):
     bounds become weak i64 — and jax 0.9 Mosaic lowers the resulting
     i64->i32 index demotion through a convert helper that self-recurses."""
 
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
     def body(r, _):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         M = Pbuf[:]
         cmask = cols == r                                  # (n, n)
         rmask = rows == r

@@ -3,7 +3,7 @@
 Parity: reference ``GridLearning`` (src/GridLearning.hh:5-80) — a debug
 utility that prints element centers, corners and boundary intersections.
 Compiled into the reference binary but unused at runtime; provided here as
-a structured summary helper (also used by the CLI banner).
+a structured summary helper for interactive debugging.
 """
 
 from __future__ import annotations

@@ -90,8 +90,16 @@ def build_pnp_system(
     dense_poisson_threshold: int = 8192,
     stage_reduction: float = 1e-5,
     ras_block_size: int = 256,
+    mixed_precision: bool = False,
 ) -> PnpSystem:
     """Compile the production pipeline.
+
+    ``mixed_precision`` (large-mesh path only): Krylov operator applies
+    run as f32 SpMV (element blocks cast once, true-f32 einsum) while
+    vectors/dots stay f64; the 1e-10 Poisson solve goes through two
+    1e-5 passes with an exact-f64 residual between them (classic
+    mixed-precision refinement). Validated against the f64 path in
+    tests/test_block_ras.py.
 
     ``stage_reduction``: relative tolerance of the species stage solves
     (reference: 1e-5, src/instationary_pnp_from_pb_md.hh:383-386; tighter
@@ -421,8 +429,12 @@ def build_pnp_system(
                 iters = iters + k
                 continue
             A_el = a_ii * M_el[None] + (dt * b_ii) * K_pair
-            op = FA.make_constrained_operator_batched(A_el, vt2.dofmap, ndof,
-                                                      free_pair)
+            if use_block_ras and mixed_precision:
+                op = FA.make_constrained_operator_mixed(A_el, vt2.dofmap,
+                                                        ndof, free_pair)
+            else:
+                op = FA.make_constrained_operator_batched(A_el, vt2.dofmap,
+                                                          ndof, free_pair)
             if use_block_ras:
                 from ..solvers import block_ras as BR
                 from ..solvers.krylov import bicgstab
@@ -490,6 +502,19 @@ def build_pnp_system(
         r = _poisson_residual(uphi_, ucp_, ucm_)
         if M_phi_ras is not None:
             from ..solvers.krylov import bicgstab
+            if mixed_precision:
+                # two f32-operator passes at 1e-5 with an exact f64
+                # residual between them reach the 1e-10 target (classic
+                # mixed-precision iterative refinement)
+                op_mx = FA.make_constrained_operator_mixed(
+                    A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
+                r1 = bicgstab(op_mx, r, jnp.zeros_like(r), M_phi_ras, 1e-5,
+                              sys.linearSolverIterations)
+                r_exact = ctx_phi.constrain(r - op_phi(r1.x))
+                r2 = bicgstab(op_mx, r_exact, jnp.zeros_like(r), M_phi_ras,
+                              1e-5, sys.linearSolverIterations)
+                return (uphi_ - (r1.x + r2.x),
+                        r1.iterations + r2.iterations)
             res = bicgstab(op_phi, r, jnp.zeros_like(r), M_phi_ras, 1e-10,
                            sys.linearSolverIterations)
             return uphi_ - res.x, res.iterations

@@ -166,3 +166,41 @@ def test_driver_large_mesh_path_matches_dense(ref_test_dir):
         assert bool(jnp.isfinite(b2).all())
         scale = float(jnp.max(jnp.abs(a))) + 1.0
         assert float(jnp.max(jnp.abs(a - b2))) / scale < 2e-4
+
+
+def test_mixed_precision_large_mesh_matches_f64(ref_test_dir):
+    """VERDICT r1 item 10: f32-SpMV/f64-reduction Krylov with two-pass
+    refinement must reproduce the f64 iterative path — the Poisson
+    re-solve is checked at its 1e-10 tolerance (same state, same linear
+    system, both solved 'exactly' -> answers agree far below 1e-8), the
+    stage trajectory within stage-tolerance slack."""
+    from pnp_tpu.config import read_config
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    cfg.linearSolverIterations = 3000
+    mesh = read_gmsh(cfg.meshfile)
+    space = FunctionSpace(mesh, 1)
+    sys_r = build_pnp_system(cfg, space, dense_poisson_threshold=0)
+    sys_m = build_pnp_system(cfg, space, dense_poisson_threshold=0,
+                             pb_field=sys_r.pb, mixed_precision=True)
+    s = (sys_r.uphi0, sys_r.ucp0, sys_r.ucm0)
+
+    # the 1e-10 Poisson solve: same state, same system -> same answer
+    phi_r, _ = sys_r.poisson_solve(*s)
+    phi_m, its_m = sys_m.poisson_solve(*s)
+    scale = float(jnp.max(jnp.abs(phi_r))) + 1.0
+    assert float(jnp.max(jnp.abs(phi_r - phi_m))) / scale < 1e-8
+    assert int(its_m) < cfg.linearSolverIterations
+
+    # short trajectory: mixed ops perturb each stage solve at ~f32 level,
+    # within the 1e-5 stage-tolerance slack budget
+    sr = sm = (phi_r, s[1], s[2])
+    for _ in range(2):
+        sr = sys_r.fused_step(*sr)
+        sm = sys_m.fused_step(*sm)
+    for a, b in zip(sr, sm):
+        assert bool(jnp.isfinite(b).all())
+        scale = float(jnp.max(jnp.abs(a))) + 1.0
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4

@@ -1,6 +1,6 @@
 """Owner-partitioned halo-exchange SpMV vs the single-device operator.
 
-Runs on 8 virtual CPU devices; validates the packed ppermute exchange
+Runs on 8 virtual CPU devices; validates the packed per-pair halo exchange
 (forward halo fetch + backward additive return) and partitioned dots.
 """
 
