@@ -244,6 +244,90 @@ def make_ras_precond(ctx: BlockContext, inv: Array, free: Array,
     return precond
 
 
+def build_p1_coarse(ctx: BlockContext, A_el: Array, dofmap: Array,
+                    free: Array, dof_coords: np.ndarray):
+    """Piecewise-LINEAR coarse level: span{1, x, y} per block.
+
+    Three coarse dofs per block (constant + both linear modes, in
+    block-centered/scaled coordinates for conditioning) triple the coarse
+    space of :func:`build_coarse_inverse` and capture the smooth error's
+    gradient within each patch — measured to roughly halve two-level
+    iteration counts on the constant Poisson operator vs the piecewise-
+    constant space. Galerkin coarse matrix assembled from element blocks
+    as one 2-D scatter of (E, 3n, 3n) weighted blocks.
+
+    Returns ``(coarse_inv (3K, 3K) f32, w3 (ndof, 3), idx3 (ndof, 3))``
+    for :func:`make_two_level_precond`'s linear-coarse mode. Only the
+    flat (single-system) form is supported — the production user is the
+    CONSTANT Poisson operator, factored once at setup.
+    """
+    assert A_el.ndim == 3, "linear coarse: flat systems only"
+    K = ctx.K
+    ndof = ctx.ndof
+    owner = np.asarray(ctx.owner)
+    coords = np.asarray(dof_coords)
+    # block-centered, span-scaled coordinates
+    cent = np.zeros((K, 2))
+    cnt = np.zeros(K)
+    np.add.at(cent, owner, coords)
+    np.add.at(cnt, owner, 1.0)
+    cent /= np.maximum(cnt, 1.0)[:, None]
+    span = np.zeros((K, 2))
+    np.maximum.at(span, owner, np.abs(coords - cent[owner]))
+    span = np.maximum(span, 1e-12)
+    xs = (coords - cent[owner]) / span[owner]           # (ndof, 2)
+    w3_np = np.concatenate([np.ones((ndof, 1)), xs], axis=1)  # (ndof, 3)
+    free_np = np.asarray(free)
+    w3_np = w3_np * free_np[:, None]
+    # coarse dof index of (dof, mode); constrained dofs -> drop row 3K
+    idx3_np = np.where(free_np[:, None], owner[:, None] * 3 + np.arange(3),
+                       3 * K)
+
+    dofmap_np = np.asarray(dofmap)
+    w_el = jnp.asarray(w3_np)[dofmap_np]                # (E, n, 3)
+    ei = jnp.asarray(idx3_np)[dofmap_np]                # (E, n, 3)
+    Aw = jnp.einsum("eij,eia,ejb->eiajb", A_el.astype(jnp.float32),
+                    w_el.astype(jnp.float32), w_el.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    E, n = dofmap_np.shape
+    rows = ei.reshape(E, n * 3)
+    Ac = jnp.zeros((3 * K + 1, 3 * K + 1), jnp.float32).at[
+        rows[:, :, None], rows[:, None, :]].add(
+            Aw.reshape(E, n * 3, n * 3))[:3 * K, :3 * K]
+    # regularize: empty/degenerate modes (e.g. all-Dirichlet blocks, or
+    # blocks whose free dofs are collinear) -> identity-ish rows
+    d = jnp.diagonal(Ac)
+    scale = jnp.max(jnp.abs(d)) + 1.0
+    Ac = Ac + jnp.diag(jnp.where(jnp.abs(d) > 1e-9 * scale,
+                                 1e-6 * jnp.abs(d), 1.0))
+    with jax.default_matmul_precision("highest"):
+        cinv = jnp.linalg.inv(Ac)
+    return cinv, jnp.asarray(w3_np), jnp.asarray(idx3_np)
+
+
+def make_p1_coarse_correction(ctx: BlockContext, p1_coarse, free: Array):
+    """r -> P Ac^-1 R r for the piecewise-linear coarse level."""
+    cinv, w3, idx3 = p1_coarse
+    K3 = cinv.shape[0]
+
+    def coarse(r: Array) -> Array:
+        rb = r[None] if r.ndim == 1 else r
+        S = rb.shape[0]
+        contrib = rb[:, :, None] * w3[None]             # (S, ndof, 3)
+        rc = jnp.zeros((S, K3 + 1), rb.dtype).at[
+            jnp.arange(S)[:, None, None],
+            jnp.broadcast_to(idx3[None], contrib.shape)].add(
+                contrib)[:, :K3]
+        zc = jnp.einsum("kj,sj->sk", cinv.astype(rb.dtype), rc,
+                        precision=jax.lax.Precision.HIGHEST)
+        zc_ext = jnp.concatenate([zc, jnp.zeros((S, 1), rb.dtype)], axis=1)
+        z = jnp.sum(jnp.take(zc_ext, idx3, axis=1) * w3[None], axis=2)
+        z = jnp.where(free, z, 0.0)
+        return z[0] if r.ndim == 1 else z
+
+    return coarse
+
+
 def build_coarse_inverse(ctx: BlockContext, A_el: Array, dofmap: Array,
                          free: Array) -> Array:
     """f32 inverse of the piecewise-constant Galerkin coarse matrix.
@@ -273,14 +357,26 @@ def build_coarse_inverse(ctx: BlockContext, A_el: Array, dofmap: Array,
 
 
 def make_two_level_precond(ctx: BlockContext, inv: Array, coarse_inv: Array,
-                           op, free: Array):
-    """Multiplicative RAS + piecewise-constant coarse correction.
+                           op, free: Array, p1_coarse=None):
+    """Multiplicative RAS + coarse correction.
 
     z1 = RAS(r); z = z1 + P Ac^-1 R (r - A z1). One extra operator apply
     per call; removes the one-level 1/H iteration growth on elliptic
-    operators. Nonsymmetric — pair with BiCGSTAB.
+    operators. Nonsymmetric — pair with BiCGSTAB. ``p1_coarse`` (from
+    :func:`build_p1_coarse`) switches the coarse space from piecewise
+    constant to piecewise linear (coarse_inv is then ignored).
     """
     ras = make_ras_precond(ctx, inv, free)
+    if p1_coarse is not None:
+        coarse_l = make_p1_coarse_correction(ctx, p1_coarse, free)
+
+        def precond_l(r: Array) -> Array:
+            z1 = ras(r)
+            resid = r - op(z1)
+            resid = jnp.where(free, resid, 0.0)
+            return z1 + coarse_l(resid)
+
+        return precond_l
     K = ctx.K
 
     def coarse(r: Array) -> Array:

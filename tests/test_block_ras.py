@@ -204,3 +204,29 @@ def test_mixed_precision_large_mesh_matches_f64(ref_test_dir):
         assert bool(jnp.isfinite(b).all())
         scale = float(jnp.max(jnp.abs(a))) + 1.0
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+
+def test_ras_factor_reuse_trajectory(ref_test_dir):
+    """ras_refresh_every > 1 amortizes the RAS local factorization across
+    steps; stale factors only raise Krylov counts, so the trajectory must
+    track the fresh-factor run within stage-tolerance slack."""
+    from pnp_tpu.config import read_config
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.workloads.instationary_pnp_from_pb import (
+        run_instationary_pnp_from_pb)
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    cfg.linearSolverIterations = 3000
+    mesh = read_gmsh(cfg.meshfile)
+    space = FunctionSpace(mesh, 1)
+    base = run_instationary_pnp_from_pb(
+        cfg, space, n_steps=4, dense_poisson_threshold=0,
+        presolve_potential=True)
+    reuse = run_instationary_pnp_from_pb(
+        cfg, space, n_steps=4, dense_poisson_threshold=0,
+        presolve_potential=True, ras_refresh_every=4)
+    for a, b in zip((base.phi, base.cp, base.cm),
+                    (reuse.phi, reuse.cp, reuse.cm)):
+        assert bool(jnp.isfinite(b).all())
+        scale = float(jnp.max(jnp.abs(a))) + 1.0
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
