@@ -1,14 +1,26 @@
-"""Benchmark: production PNP time steps on the flagship pore_pnp problem.
+"""Benchmark: production PNP time steps, flagship + scaled pore family.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Required keys: {"metric", "value", "unit",
+"vs_baseline"} — the headline is assembled-and-solved DOFs/s on one chip
+for the full production step on the flagship pore problem (3048 nodes):
+drift-diffusion reassembly + batched two-species Alexander2 DIRK stage
+solves at 1e-5 + decoupled Poisson SLP re-solve at 1e-10, i.e. 3 * ndof
+field dofs advanced per step, after a real PB Newton bootstrap.
+vs_baseline compares against the previous round's value in
+BENCH_BASELINE.json (the reference publishes no numbers, BASELINE.md).
 
-Metric: assembled-and-solved DOFs/s on one chip for the full production
-pipeline step (drift-diffusion reassembly + batched two-species Alexander2
-DIRK stage solves at 1e-5 + decoupled Poisson SLP re-solve at 1e-10), i.e.
-3 * ndof field dofs advanced per step, after a real PB Newton bootstrap.
-The reference publishes no numbers (BASELINE.md), so vs_baseline compares
-against the previous round's value recorded in BENCH_BASELINE.json when
-present, else 1.0.
+Honest-reporting extras (VERDICT r1 item 9):
+  * "config_overrides" — the one knob the bench changes from the shipped
+    pore.cfg (iteration cap 20000 -> 3000: single TPU programs running
+    ~100 s can trip the device watchdog; the equilibrium-bootstrapped
+    solves converge in O(10^2) iterations, so the cap is slack, not a
+    quality change);
+  * "phases" — per-program timings of the headline step's two halves;
+  * "scaled" — the same production pipeline on red-refined pore meshes
+    (11839 / 46653 nodes) through the large-mesh block-RAS path
+    (ras_refresh_every=4 factor amortization), the regime the dense fast
+    path cannot reach. Sections degrade to null on failure rather than
+    killing the headline.
 """
 
 import json
@@ -18,50 +30,104 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+ITER_CAP = 3000
 
-def run(n_meas: int = 10):
-    import jax
-    import jax.numpy as jnp
+
+def _load(levels: int = 0):
     from pnp_tpu.config import read_config
     from pnp_tpu.fem.space import FunctionSpace
     from pnp_tpu.meshio import read_gmsh
-    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+    from pnp_tpu.meshio.refine import refine_uniform
 
     cfg = read_config("/root/reference/test/pore_pnp/pore.cfg")
-    # keep single-program device time bounded (watchdog safety); the
-    # equilibrium-bootstrapped solves converge in O(100) iterations
-    cfg.linearSolverIterations = min(cfg.linearSolverIterations, 3000)
+    cfg.linearSolverIterations = min(cfg.linearSolverIterations, ITER_CAP)
     mesh = read_gmsh(cfg.meshfile)
-    space = FunctionSpace(mesh, 1)
+    if levels:
+        mesh = refine_uniform(mesh, levels)
+    return cfg, FunctionSpace(mesh, 1)
+
+
+def run_headline(n_meas: int = 10):
+    import jax
+    import jax.numpy as jnp
+    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+
+    cfg, space = _load(0)
     system = build_pnp_system(cfg, space)   # includes the PB Newton solve
 
-    uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
-
-    def step(uphi, ucp, ucm):
-        # the production step (potentialUpdateFreq=1 in pore.cfg): fresh
-        # stage factorization + species DIRK stages + exact Poisson re-solve
-        # as ONE program — what the driver time loop runs
-        return system.fused_step(uphi, ucp, ucm)
-
-    # warmup/compile
-    for _ in range(2):
-        uphi, ucp, ucm = step(uphi, ucp, ucm)
-    jax.block_until_ready(uphi)
+    state = (system.uphi0, system.ucp0, system.ucm0)
+    for _ in range(2):                      # warmup/compile
+        state = system.fused_step(*state)
+    jax.block_until_ready(state[0])
 
     t0 = time.perf_counter()
     for _ in range(n_meas):
-        uphi, ucp, ucm = step(uphi, ucp, ucm)
+        state = system.fused_step(*state)
+    jax.block_until_ready(state[0])
+    elapsed = time.perf_counter() - t0
+    assert bool(jnp.isfinite(state[0]).all()), "non-finite state"
+    value = 3 * space.ndof * n_meas / elapsed
+
+    # per-phase: the step's two halves as their own programs
+    phases = None
+    try:
+        ucp, ucm, _ = system.species_step(*state)
+        jax.block_until_ready(ucp)
+        t0 = time.perf_counter()
+        for _ in range(n_meas):
+            ucp, ucm, _ = system.species_step(state[0], ucp, ucm)
+        jax.block_until_ready(ucp)
+        sp_ms = (time.perf_counter() - t0) / n_meas * 1e3
+        uphi, _ = system.poisson_solve(state[0], ucp, ucm)
+        jax.block_until_ready(uphi)
+        t0 = time.perf_counter()
+        for _ in range(n_meas):
+            uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+        jax.block_until_ready(uphi)
+        po_ms = (time.perf_counter() - t0) / n_meas * 1e3
+        phases = {"species_ms": round(sp_ms, 2), "poisson_ms": round(po_ms, 2),
+                  "fused_step_ms": round(elapsed / n_meas * 1e3, 2)}
+    except Exception as e:
+        sys.stderr.write(f"phase timing skipped: {e}\n")
+    return value, phases
+
+
+def run_scaled(levels: int, n_meas: int = 4, refresh: int = 4):
+    """Large-mesh path (block-RAS, factor amortized) on refined pore."""
+    import jax
+    import jax.numpy as jnp
+    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+
+    cfg, space = _load(levels)
+    system = build_pnp_system(cfg, space)   # > 8192 dofs -> block-RAS path
+    uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
+    uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+
+    def step_block(uphi, ucp, ucm, n):
+        factor = system.species_factor(uphi)
+        for _ in range(n):
+            ucp, ucm, _ = system.species_step_reuse(factor, uphi, ucp, ucm)
+            uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+        return uphi, ucp, ucm
+
+    uphi, ucp, ucm = step_block(uphi, ucp, ucm, 1)      # warmup/compile
+    jax.block_until_ready(uphi)
+    t0 = time.perf_counter()
+    uphi, ucp, ucm = step_block(uphi, ucp, ucm, n_meas)
     jax.block_until_ready(uphi)
     elapsed = time.perf_counter() - t0
     assert bool(jnp.isfinite(uphi).all()), "non-finite state"
-    return 3 * space.ndof * n_meas / elapsed
+    return {"nodes": space.ndof,
+            "dofs_per_s": round(3 * space.ndof * n_meas / elapsed, 2),
+            "step_ms": round(elapsed / n_meas * 1e3, 1),
+            "ras_refresh_every": refresh}
 
 
 def main():
-    value = None
+    value = phases = None
     for attempt in range(2):
         try:
-            value = run()
+            value, phases = run_headline()
             break
         except Exception as e:
             sys.stderr.write(f"bench attempt {attempt} failed: {e}\n")
@@ -70,6 +136,14 @@ def main():
         print(json.dumps({"metric": "pore_pnp_production_step_dofs_per_s_per_chip",
                           "value": 0.0, "unit": "DOF/s", "vs_baseline": 0.0}))
         return
+
+    scaled = []
+    for levels in (1, 2):
+        try:
+            scaled.append(run_scaled(levels))
+        except Exception as e:
+            sys.stderr.write(f"scaled L{levels} failed: {e}\n")
+            scaled.append(None)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -87,6 +161,11 @@ def main():
         "value": round(value, 2),
         "unit": "DOF/s",
         "vs_baseline": round(vs, 4),
+        "config_overrides": {
+            "linearSolverIterations": f"20000 -> {ITER_CAP} "
+            "(TPU watchdog cap; solves converge in O(10^2) its)"},
+        "phases": phases,
+        "scaled": scaled,
     }))
 
 

@@ -22,12 +22,19 @@ Layouts: shape_t (n, q), ue_t (n, E), gp_t (n, 2, E, q), qw/qy (E, q);
 outputs r_t (n, E), A_t (n, n, E). ``pb_residual_jacobian_pallas`` wraps
 the transposes and exposes the engine's natural (E, ...) layout.
 
-STATUS: exact-parity verified in interpret mode (tests/test_pallas.py).
-Hardware compilation still trips Mosaic layout legalization on the tiny
-minor extents (q = 4, n = 3 blocks vs the (8, 128) tile grid) — packing
-the fused (q*n*2) factor into a 128-padded lane dimension is the round-2
-path to a compiled kernel. The production path remains the XLA einsum
-assembly (which fuses well); this module pins the kernel semantics.
+STATUS (r2, jax 0.9.0 Mosaic):
+  * ``batched_inverse_pallas`` (below) is LANDED ON HARDWARE: compiles,
+    is correct to ~1.5e-6 f32, and beats XLA's getrf+getri at both
+    production shapes (41.8 -> 18.3 ms at the RAS-factor shape
+    (94, 512); see tools/tpu_pallas_check.py for the measured chained
+    timings). It is the production inverse on TPU via
+    solvers/direct.py:batched_inv_f32 (PNP_TPU_NO_PALLAS_INV=1 reverts).
+  * the fused PB element kernel remains interpret-verified only:
+    hardware compilation trips Mosaic layout legalization on the tiny
+    minor extents (q = 4, n = 3 blocks vs the (8, 128) tile grid), and
+    the XLA einsum assembly it would replace already fuses well (the PB
+    Newton is a one-time bootstrap, ~zero per-step cost) — kept as a
+    semantics pin, not a production path.
 """
 
 from __future__ import annotations

@@ -202,8 +202,8 @@ def build_local_inverses(ctx: BlockContext, A_el: Array, free: Array,
         bump = bump + rel_shift * jnp.max(diag, axis=2,
                                           keepdims=True) * f_loc
     A = A + jax.vmap(jax.vmap(jnp.diag))(bump)
-    with jax.default_matmul_precision("highest"):
-        inv = jnp.linalg.inv(A.reshape(S * K, L, L)).reshape(S, K, L, L)
+    from .direct import batched_inv_f32   # Pallas GJ on TPU, XLA inv else
+    inv = batched_inv_f32(A.reshape(S * K, L, L)).reshape(S, K, L, L)
     return inv[0] if squeeze else inv
 
 

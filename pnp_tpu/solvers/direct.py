@@ -37,6 +37,20 @@ def batched_lu_factor_f32(A_dense: Array):
     return jax.vmap(jax.scipy.linalg.lu_factor)(A_dense.astype(jnp.float32))
 
 
+def use_pallas_inverse() -> bool:
+    """Pallas blocked Gauss-Jordan on TPU hardware, XLA elsewhere.
+
+    Hardware-verified this round (jax 0.9.0 Mosaic): correct to ~1.5e-6
+    at (2, 3072) and (94, 512), and faster than XLA's getrf+getri at
+    both shapes (41.8 -> 18.3 ms at the RAS-factor shape). Override with
+    PNP_TPU_NO_PALLAS_INV=1.
+    """
+    import os
+    if os.environ.get("PNP_TPU_NO_PALLAS_INV") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def batched_inv_f32(A_dense: Array):
     """(S, N, N) -> f32 explicit inverses.
 
@@ -45,7 +59,17 @@ def batched_inv_f32(A_dense: Array):
     (~2.5 ms) instead of a latency-bound batched triangular-solve pair
     (~10.7 ms) — a net win whenever a factorization serves >=2 applies,
     which every refinement-based stage solve does.
+
+    On TPU hardware the inverse itself runs as the Pallas blocked
+    Gauss-Jordan (operators/pallas_kernels.py:batched_inverse_pallas) —
+    no-pivot is safe here: every call site is a PRECONDITIONER (the
+    dense stage path refines against exact f64 residuals; block-RAS only
+    preconditions BiCGSTAB), so a quality loss can only raise iteration
+    counts.
     """
+    if use_pallas_inverse():
+        from ..operators.pallas_kernels import batched_inverse_pallas
+        return batched_inverse_pallas(A_dense.astype(jnp.float32))
     # true-f32 internal matmuls: the TPU default (bf16 passes) would make
     # the inverse itself the accuracy bottleneck of the refinement loop
     with jax.default_matmul_precision("highest"):

@@ -63,3 +63,24 @@ def test_batched_inverse_pallas(S, N):
     resid = np.einsum("sij,sjk->sik", np.asarray(A, np.float64), X)
     resid -= np.eye(N)
     assert np.max(np.abs(resid)) < 5e-6
+
+
+def test_batched_inverse_pallas_hardware_tpu():
+    """Hardware-lowering smoke (ADVICE r1): compiles interpret=False on a
+    real TPU and checks ||inv*A - I||. Skipped under the CPU-forced CI
+    (tools/tpu_pallas_check.py is the runnable hardware script; last
+    verified 2026-08-20 on jax 0.9.0 Mosaic)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs TPU hardware (CI forces CPU)")
+    from pnp_tpu.operators.pallas_kernels import batched_inverse_pallas
+    rng = np.random.RandomState(0)
+    N = 512
+    A = jnp.asarray(np.eye(N, dtype=np.float32)[None] * 64.0
+                    + rng.standard_normal((3, N, N)).astype(np.float32))
+    out = batched_inverse_pallas(A)
+    err = float(jnp.max(jnp.abs(
+        jnp.einsum("sij,sjk->sik", out, A,
+                   precision=jax.lax.Precision.HIGHEST)
+        - jnp.eye(N)[None])))
+    assert err < 1e-4, err
