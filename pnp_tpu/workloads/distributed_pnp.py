@@ -79,6 +79,9 @@ class DistPnpSystem:
     fused_step: Callable         # (uphi, uc) -> (uphi', uc')
     scan_steps: Callable         # ((uphi, uc), n) -> (uphi', uc')
     dt: float
+    # Schwarz factor amortization (None for non-uniform-diagonal tableaux)
+    species_factor: Any = None         # (uphi) -> block-LU factors
+    species_step_reuse: Any = None     # (factor, uphi, uc) -> (uc', iters)
 
     def to_global(self, v) -> np.ndarray:
         """Owner-partitioned (Kb,) -> global (ndof,) numpy (for IO);
@@ -213,20 +216,16 @@ def build_dist_pnp_system(
         ue = ctx.gather_elem(uc_)                          # (2, F, n)
         return ctx.scatter_elem(jnp.einsum("eij,sej->sei", M_el, ue))
 
-    def _species_step(uphi_, uc_):
+    def _species_stages(K_pair, uc_, M_shared):
         """All DIRK stages for both species, batched (2, Kb) solves at the
         reference's 1e-5 stage tolerance (md.hh:383-386), each BiCGSTAB +
-        Schwarz block-LU (factor shared across stages when the tableau has
-        a uniform diagonal, as Alexander2 does)."""
-        K_pair = _build_K_pair(uphi_)
+        Schwarz block-LU (``M_shared``: the stage preconditioner when the
+        tableau has a uniform diagonal, as Alexander2 does — possibly a
+        stale factor under ras_refresh_every amortization; staleness only
+        raises iteration counts)."""
 
         def alpha_scatter(u):
             return ctx.spmv(K_pair, u)
-
-        M_shared = None
-        if uniform_diag:
-            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-            M_shared = SW.make_schwarz_precond(ctx, A_stage, free_pair)
 
         levels = [uc_]
         iters = jnp.int32(0)
@@ -252,6 +251,28 @@ def build_dist_pnp_system(
             levels.append(guess - res.x)
             iters = iters + jnp.max(res.iterations)
         return levels[-1], iters
+
+    def _species_step(uphi_, uc_):
+        K_pair = _build_K_pair(uphi_)
+        M_shared = None
+        if uniform_diag:
+            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+            M_shared = SW.make_schwarz_precond(ctx, A_stage, free_pair)
+        return _species_stages(K_pair, uc_, M_shared)
+
+    def _species_factor(uphi_):
+        """Schwarz block-LU factors of the (uniform-diagonal) stage
+        matrix — reusable across steps (ras_refresh_every amortization;
+        build_local_matrices' env gather + batched LU is the dominant
+        per-step setup cost of the distributed pipeline)."""
+        K_pair = _build_K_pair(uphi_)
+        A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+        return SW.factor_local_matrices(
+            SW.build_local_matrices(ctx, A_stage, free_pair))
+
+    def _species_step_reuse(lu_out, uphi_, uc_):
+        K_pair = _build_K_pair(uphi_)
+        return _species_stages(K_pair, uc_, SW.make_ras_precond(ctx, lu_out))
 
     def _poisson_solve(uphi_, uc_):
         """SLP apply at tolerance 1e-10 (reference md.hh:349-350)."""
@@ -285,7 +306,10 @@ def build_dist_pnp_system(
         species_step=jax.jit(_species_step),
         poisson_solve=jax.jit(_poisson_solve),
         fused_step=jax.jit(_fused_step),
-        scan_steps=scan_steps, dt=dt)
+        scan_steps=scan_steps, dt=dt,
+        species_factor=jax.jit(_species_factor) if uniform_diag else None,
+        species_step_reuse=(jax.jit(_species_step_reuse)
+                            if uniform_diag else None))
 
 
 @dataclasses.dataclass
@@ -316,6 +340,7 @@ def run_distributed_pnp_from_pb(
     flux_convention: str = "reference",
     presolve_potential: bool = False,
     pb_field=None,
+    ras_refresh_every: int = 1,
 ) -> DistPnpRunResult:
     """The multi-chip production driver: phases A-D owner-partitioned.
 
@@ -372,8 +397,19 @@ def run_distributed_pnp_from_pb(
         write_dat(space, cm_g, os.path.join(output_dir, "cm.dat"))
 
     history = []
+    use_reuse = ras_refresh_every > 1 and system.species_factor is not None
+    factor = None
     for i in range(start_step, n_steps):
-        if i % sys.potentialUpdateFreq == 0:
+        if use_reuse:
+            # Schwarz factor amortization: refresh the block-LU every
+            # ras_refresh_every steps; stale factors only raise BiCGSTAB
+            # counts (stage solves remain 1e-5-exact)
+            if factor is None or (i - start_step) % ras_refresh_every == 0:
+                factor = system.species_factor(uphi)
+            uc, _ = system.species_step_reuse(factor, uphi, uc)
+            if i % sys.potentialUpdateFreq == 0:
+                uphi, _ = system.poisson_solve(uphi, uc)
+        elif i % sys.potentialUpdateFreq == 0:
             uphi, uc = system.fused_step(uphi, uc)
         else:
             uc, _ = system.species_step(uphi, uc)

@@ -106,3 +106,18 @@ def test_checkpoint_resume_across_device_counts(problem, run8, tmp_path):
     np.testing.assert_allclose(res_resumed.phi, res_full.phi, atol=1e-8)
     np.testing.assert_allclose(res_resumed.cp, res_full.cp, atol=1e-8)
     np.testing.assert_allclose(res_resumed.cm, res_full.cm, atol=1e-8)
+
+
+@needs_8
+def test_schwarz_factor_reuse_matches(problem, run8):
+    """ras_refresh_every amortizes the distributed Schwarz block-LU; the
+    stale factor only raises Krylov counts, so the trajectory matches the
+    fresh-factor run far below stage tolerance on this problem."""
+    cfg, space = problem
+    res_f, _ = run8
+    res_r = run_distributed_pnp_from_pb(
+        cfg, space, make_device_mesh(8), n_steps=N_STEPS,
+        ras_refresh_every=4)
+    np.testing.assert_allclose(res_r.phi, res_f.phi, atol=1e-7)
+    np.testing.assert_allclose(res_r.cp, res_f.cp, atol=1e-7)
+    np.testing.assert_allclose(res_r.cm, res_f.cm, atol=1e-7)
