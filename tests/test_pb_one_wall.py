@@ -124,3 +124,29 @@ def test_mesh_convergence_order():
     rate1 = errs[0] / errs[1]
     rate2 = errs[1] / errs[2]
     assert rate1 > 3.0 and rate2 > 3.0  # ~4x per refinement
+
+
+def test_dh_large_mesh_block_ras_path():
+    """Analytic anchor for the LARGE-MESH solver path: a refined wall
+    mesh pushes ndof past the dense threshold, so the PB Newton runs
+    BiCGSTAB + overlapping block-RAS (workloads/pb.py ras_threshold) —
+    the converged field must still match exact Debye-Hueckel, and refine
+    once more must shrink the P1 error ~4x (O(h^2))."""
+    from pnp_tpu.meshio.refine import refine_uniform
+
+    j, L = 1e-3, 5.0
+    s = wall_sys(j)
+    s.linearSolver = "BCGS_SSORk"
+    kappa = np.sqrt(8 * np.pi * s.l_b * s.c0)
+    base = rect_mesh(60, 8, L, 0.5)
+    errs = []
+    for levels in (2, 3):                     # 3,9k and 15,7k dofs
+        mesh = refine_uniform(base, levels)
+        space = FunctionSpace(mesh, 1)
+        res = solve_pb(s, space)
+        assert res.converged, (levels, res.defect)
+        phi = np.asarray(res.u)
+        want = dh_exact(space.dof_coords[:, 0], j, kappa, L)
+        errs.append(rel_l2(phi, want))
+    assert errs[0] < 5e-4, errs
+    assert errs[1] < errs[0] / 3.0, errs      # O(h^2) through the RAS path
