@@ -100,11 +100,19 @@ def run_stationary_pnp(sys: Sysparams, space: FunctionSpace,
     krylov = make_krylov_solver(_MONOLITHIC_SOLVER[sys.linearSolver],
                                 sys.linearSolverIterations)
 
+    # split assemble/solve: newtonReassembleThreshold (reference binding
+    # src/stationary_pnp.hh:284) reuses the monolithic Jacobian across
+    # fast-converging iterations
     @jax.jit
-    def linear_solve(u, r, reduction):
+    def assemble(u):
         A_el = P.pnp_jacobian_el(u[cmap], vt, sys.l_b, sys.cylindrical, sys.pi)
-        op = FA.make_constrained_operator(A_el, cmap, 3 * ndof, free)
         diag = FA.constrained_diagonal(A_el, cmap, 3 * ndof, free)
+        return A_el, diag
+
+    @jax.jit
+    def assembled_solve(jac_ctx, r, reduction):
+        A_el, diag = jac_ctx
+        op = FA.make_constrained_operator(A_el, cmap, 3 * ndof, free)
         res = krylov(op, jnp.where(free, r, 0.0), jnp.zeros_like(r),
                      diag, reduction)
         return res.x, res.iterations
@@ -115,8 +123,10 @@ def run_stationary_pnp(sys: Sysparams, space: FunctionSpace,
         max_iterations=int(sys.newtonMaxIterations),
         line_search_max=int(sys.newtonLineSearchMaxIteration),
         verbosity=sys.verbosity,
+        reassemble_threshold=sys.newtonReassembleThreshold,
     )
-    return newton_solve(residual, linear_solve, u0, params)
+    return newton_solve(residual, None, u0, params,
+                        assemble_fn=assemble, assembled_solve_fn=assembled_solve)
 
 
 def split_fields(space: FunctionSpace, u):
