@@ -273,13 +273,28 @@ def _make_gj_kernel(NI: int, B: int, N: int):
     return kernel
 
 
-def batched_inverse_pallas(A: Array, interpret: bool = False) -> Array:
+def batched_inverse_pallas(A: Array, interpret: bool = False,
+                           equilibrate: bool = True) -> Array:
     """Explicit inverses of a batch of dense f32 matrices, one Pallas
     program (blocked no-pivot Gauss-Jordan; see block comment above).
 
     A: (S, N, N) float32. N is padded internally to a multiple of 128 with
     identity rows/cols (exact: inv(blockdiag(A, I)) = blockdiag(inv(A), I)).
+
+    ``equilibrate``: symmetric diagonal scaling A~ = S A S (S = 1/sqrt
+    |diag A|) before elimination, inverse unscaled as S inv(A~) S.
+    Constrained FEM matrices mix identity Dirichlet rows with mass-scale
+    (~1e-4) free rows; no-pivot elimination compounds that scale mixing
+    across panels and went non-finite on the real pore stage matrices —
+    equilibration makes every pivot O(1).
     """
+    if equilibrate:
+        d = jnp.abs(jnp.diagonal(A, axis1=1, axis2=2))
+        s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        inv_eq = batched_inverse_pallas(A * s[:, :, None] * s[:, None, :],
+                                        interpret=interpret,
+                                        equilibrate=False)
+        return inv_eq * s[:, :, None] * s[:, None, :]
     S, N0, _ = A.shape
     B = GJ_BLOCK
     N = ((N0 + B - 1) // B) * B

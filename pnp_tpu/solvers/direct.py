@@ -38,17 +38,19 @@ def batched_lu_factor_f32(A_dense: Array):
 
 
 def use_pallas_inverse() -> bool:
-    """Pallas blocked Gauss-Jordan on TPU hardware, XLA elsewhere.
+    """Opt-in Pallas blocked Gauss-Jordan on TPU (PNP_TPU_PALLAS_INV=1).
 
-    Hardware-verified this round (jax 0.9.0 Mosaic): correct to ~1.5e-6
-    at (2, 3072) and (94, 512), and faster than XLA's getrf+getri at
-    both shapes (41.8 -> 18.3 ms at the RAS-factor shape). Override with
-    PNP_TPU_NO_PALLAS_INV=1.
+    Hardware status (jax 0.9.0 Mosaic): compiles and is correct to
+    ~1.5e-6 on well-conditioned synthetic batches at (2, 3072) and
+    (94, 512) (faster than XLA getrf+getri there: 41.8 -> 18.3 ms), but
+    auto-enabling it for the production stage inverses produced
+    non-finite steps on the real pore matrices — no-pivot elimination is
+    not yet robust on them. OPT-IN until the pivoting story lands; the
+    default stays XLA's getrf+getri.
     """
     import os
-    if os.environ.get("PNP_TPU_NO_PALLAS_INV") == "1":
-        return False
-    return jax.default_backend() == "tpu"
+    return (os.environ.get("PNP_TPU_PALLAS_INV") == "1"
+            and jax.default_backend() == "tpu")
 
 
 def batched_inv_f32(A_dense: Array):
