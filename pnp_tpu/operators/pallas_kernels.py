@@ -23,12 +23,17 @@ outputs r_t (n, E), A_t (n, n, E). ``pb_residual_jacobian_pallas`` wraps
 the transposes and exposes the engine's natural (E, ...) layout.
 
 STATUS (r2, jax 0.9.0 Mosaic):
-  * ``batched_inverse_pallas`` (below) is LANDED ON HARDWARE: compiles,
-    is correct to ~1.5e-6 f32, and beats XLA's getrf+getri at both
-    production shapes (41.8 -> 18.3 ms at the RAS-factor shape
-    (94, 512); see tools/tpu_pallas_check.py for the measured chained
-    timings). It is the production inverse on TPU via
-    solvers/direct.py:batched_inv_f32 (PNP_TPU_NO_PALLAS_INV=1 reverts).
+  * ``batched_inverse_pallas`` (below) COMPILES AND RUNS ON HARDWARE:
+    correct to ~1.5e-6 f32 on synthetic batches at (2, 3072)/(94, 512)
+    and on the real pore stage batch at the initial state, and faster
+    than XLA getrf+getri at the RAS-factor shape (41.8 -> 18.3 ms).
+    Auto-enabling it for production went non-finite on LATE-TRANSIENT
+    stage matrices (state-dependent advective dominance defeats no-pivot
+    elimination even after the symmetric diagonal equilibration now
+    built in), so the production switch is OPT-IN
+    (PNP_TPU_PALLAS_INV=1 via solvers/direct.py:batched_inv_f32) until
+    a pivoting story lands. tools/tpu_pallas_check.py is the hardware
+    check + chained-timing script.
   * the fused PB element kernel remains interpret-verified only:
     hardware compilation trips Mosaic layout legalization on the tiny
     minor extents (q = 4, n = 3 blocks vs the (8, 128) tile grid), and
