@@ -27,12 +27,16 @@ STATUS (r2, jax 0.9.0 Mosaic):
     correct to ~1.5e-6 f32 on synthetic batches at (2, 3072)/(94, 512)
     and on the real pore stage batch at the initial state, and faster
     than XLA getrf+getri at the RAS-factor shape (41.8 -> 18.3 ms).
-    Auto-enabling it for production went non-finite on LATE-TRANSIENT
-    stage matrices (state-dependent advective dominance defeats no-pivot
-    elimination even after the symmetric diagonal equilibration now
-    built in), so the production switch is OPT-IN
-    (PNP_TPU_PALLAS_INV=1 via solvers/direct.py:batched_inv_f32) until
-    a pivoting story lands. tools/tpu_pallas_check.py is the hardware
+    The elimination now does IN-BLOCK PARTIAL PIVOTING (row swaps inside
+    each 128-pivot block, column unswaps at the end), which fixes the
+    permuted/zero-diagonal failure class; the numpy simulation on dumped
+    late-transient pore stage matrices (tools/gj_pivot_study.py) shows
+    CROSS-BLOCK pivot growth can still make the refinement contraction
+    diverge on the worst steps (LAPACK's full partial pivoting does not),
+    so production use stays behind the contraction-probe-guarded
+    fallback (solvers/direct.py:batched_inv_f32) and the switch is
+    OPT-IN (PNP_TPU_PALLAS_INV=1) pending the tools/tpu_pallas_e2e.py
+    net-win measurement. tools/tpu_pallas_check.py is the hardware
     check + chained-timing script.
   * the fused PB element kernel remains interpret-verified only:
     hardware compilation trips Mosaic layout legalization on the tiny
@@ -189,14 +193,21 @@ def pad_to_tile(arr, tile: int = ELEM_TILE, fill=0.0):
 GJ_BLOCK = 128
 
 
-def _gj_inv_small(Pbuf, n: int):
+def _gj_inv_small(Pbuf, permbuf, n: int):
     """In-place unblocked Gauss-Jordan inverse of the (n, n) VMEM block
-    ``Pbuf`` (no pivoting), vectorized row elimination per iteration.
+    ``Pbuf`` with PARTIAL PIVOTING, vectorized row elimination per
+    iteration. ``permbuf`` is a (1, n) i32 VMEM scratch recording the
+    pivot-row sequence; after the forward sweep the recorded column swaps
+    are undone in reverse order (classic in-place pivoted Gauss-Jordan).
+    In-block pivoting is what makes the blocked inverse survive the real
+    advection-dominated stage matrices (no-pivot elimination went
+    non-finite on them even after diagonal equilibration; validated in
+    tools/gj_pivot_study.py against dumped late-transient pore matrices).
 
     Mosaic constraints shape the implementation: every ``jnp.where``
     predicate is built at the FULL operand shape (jax 0.9 Mosaic lowers
     sub-shape bool broadcasts through a bool->int32 convert that recurses
-    forever), and the pivot value / pivot column are extracted by masked
+    forever), and pivot values / rows / columns are extracted by masked
     reduction instead of lane-dynamic slicing (single-lane dynamic slices
     are not 128-aligned). The loop bounds/carry are pinned to i32: the
     engine runs with x64 enabled, under which plain-int ``fori_loop``
@@ -209,13 +220,28 @@ def _gj_inv_small(Pbuf, n: int):
     def body(r, _):
         M = Pbuf[:]
         cmask = cols == r                                  # (n, n)
-        rmask = rows == r
-        rowvec_raw = Pbuf[pl.ds(r, 1), :]                  # (1, n) sublane-dyn
         zero = jnp.zeros((), M.dtype)
-        piv = jnp.sum(jnp.where(cmask[0:1, :], rowvec_raw, zero))
+        c0 = jnp.sum(jnp.where(cmask, M, zero), axis=1, keepdims=True)  # (n,1)
+        # pivot row p = argmin-index among rows >= r of max |column r|
+        elig = rows[:, 0:1] >= r                           # (n, 1)
+        score = jnp.where(elig, jnp.abs(c0), jnp.full((n, 1), -1.0, M.dtype))
+        mx = jnp.max(score)
+        pmask = (score == mx) & elig
+        p = jnp.min(jnp.where(pmask, rows[:, 0:1], jnp.int32(n)))
+        permbuf[:] = jnp.where(cols[0:1, :] == r,
+                               jnp.full((1, n), 0, jnp.int32) + p,
+                               permbuf[:])
+        # swap rows r <-> p (masked selects; identity when p == r)
+        rmask = rows == r
+        pmask_n = rows == p
+        row_r = jnp.sum(jnp.where(rmask, M, zero), axis=0, keepdims=True)
+        row_p = jnp.sum(jnp.where(pmask_n, M, zero), axis=0, keepdims=True)
+        M = jnp.where(rmask, jnp.broadcast_to(row_p, (n, n)),
+                      jnp.where(pmask_n, jnp.broadcast_to(row_r, (n, n)), M))
+        c = jnp.sum(jnp.where(cmask, M, zero), axis=1, keepdims=True)
+        piv = jnp.sum(jnp.where(cmask[0:1, :], row_p, zero))
         ipiv = 1.0 / piv
-        rowvec = jnp.broadcast_to(rowvec_raw * ipiv, (n, n))
-        c = jnp.sum(jnp.where(cmask, M, zero), axis=1, keepdims=True)  # (n, 1)
+        rowvec = jnp.broadcast_to(row_p * ipiv, (n, n))
         M1 = M - c * rowvec                                # rank-1 eliminate
         M1 = jnp.where(rmask, rowvec, M1)                  # pivot row
         colvals = jnp.where(rmask, jnp.full((n, n), ipiv, M.dtype),
@@ -225,9 +251,26 @@ def _gj_inv_small(Pbuf, n: int):
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.int32(0))
 
+    def unswap(t, _):
+        # undo the recorded row swaps as COLUMN swaps, reverse order
+        r = jnp.int32(n - 1) - t
+        p = jnp.sum(jnp.where(cols[0:1, :] == r, permbuf[:], jnp.int32(0)))
+        M = Pbuf[:]
+        cmask_r = cols == r
+        cmask_p = cols == p
+        zero = jnp.zeros((), M.dtype)
+        col_r = jnp.sum(jnp.where(cmask_r, M, zero), axis=1, keepdims=True)
+        col_p = jnp.sum(jnp.where(cmask_p, M, zero), axis=1, keepdims=True)
+        Pbuf[:] = jnp.where(cmask_r, jnp.broadcast_to(col_p, (n, n)),
+                            jnp.where(cmask_p,
+                                      jnp.broadcast_to(col_r, (n, n)), M))
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), unswap, jnp.int32(0))
+
 
 def _make_gj_kernel(NI: int, B: int, N: int):
-    def kernel(in_ref, out_ref, Pbuf, Rbuf, rowbuf, sem):
+    def kernel(in_ref, out_ref, Pbuf, Rbuf, rowbuf, permbuf, sem):
         del in_ref  # seeds out_ref via input_output_aliases; never read
         s = pl.program_id(0)
         k = pl.program_id(1)
@@ -246,7 +289,7 @@ def _make_gj_kernel(NI: int, B: int, N: int):
             # the block is the pivot row: invert A[k,k], build the scratch
             # row R = [P A[k,:] with P in the k-block] in place
             Pbuf[:] = rowbuf[:, pl.ds(kofs, B)]
-            _gj_inv_small(Pbuf, B)
+            _gj_inv_small(Pbuf, permbuf, B)
             Rbuf[:] = jax.lax.dot_general(
                 Pbuf[:], rowbuf[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -321,6 +364,7 @@ def batched_inverse_pallas(A: Array, interpret: bool = False,
             pltpu.VMEM((B, B), jnp.float32),
             pltpu.VMEM((B, N), jnp.float32),
             pltpu.VMEM((B, N), jnp.float32),
+            pltpu.VMEM((1, B), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={0: 0},

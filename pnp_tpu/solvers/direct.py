@@ -38,19 +38,33 @@ def batched_lu_factor_f32(A_dense: Array):
 
 
 def use_pallas_inverse() -> bool:
-    """Opt-in Pallas blocked Gauss-Jordan on TPU (PNP_TPU_PALLAS_INV=1).
+    """Pallas blocked Gauss-Jordan on TPU (opt-in: PNP_TPU_PALLAS_INV=1).
 
-    Hardware status (jax 0.9.0 Mosaic): compiles and is correct to
-    ~1.5e-6 on well-conditioned synthetic batches at (2, 3072) and
-    (94, 512) (faster than XLA getrf+getri there: 41.8 -> 18.3 ms), but
-    auto-enabling it for the production stage inverses produced
-    non-finite steps on the real pore matrices — no-pivot elimination is
-    not yet robust on them. OPT-IN until the pivoting story lands; the
-    default stays XLA's getrf+getri.
+    Hardware status (jax 0.9.0 Mosaic): compiles, correct to ~1.5e-6 on
+    synthetic batches at (2, 3072)/(94, 512) and faster than XLA
+    getrf+getri (41.8 -> 18.3 ms at the RAS-factor shape). The r2 no-pivot
+    version went non-finite on late-transient advective stage matrices;
+    the kernel now does IN-BLOCK PARTIAL PIVOTING and every production
+    call runs behind the contraction-probe-guarded fallback in
+    :func:`batched_inv_f32`, so a quality loss degrades to the XLA inverse
+    instead of a non-finite step. The numpy simulation on dumped pore
+    matrices (tools/gj_pivot_study.py + contraction analysis) shows the
+    blocked elimination still DIVERGES intermittently on late-transient
+    matrices (cross-block pivot growth: refinement contraction 118 at
+    step 10 vs LAPACK's 1e-4) — so with the guard the flagship dense path
+    pays Pallas + XLA inversions on those steps. Stays opt-in unless the
+    TPU e2e gate (tools/tpu_pallas_e2e.py) measures a net step-time win.
     """
     import os
     return (os.environ.get("PNP_TPU_PALLAS_INV") == "1"
             and jax.default_backend() == "tpu")
+
+
+def _xla_inv_f32(A32: Array):
+    # true-f32 internal matmuls: the TPU default (bf16 passes) would make
+    # the inverse itself the accuracy bottleneck of the refinement loop
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.inv(A32)
 
 
 def batched_inv_f32(A_dense: Array):
@@ -62,20 +76,41 @@ def batched_inv_f32(A_dense: Array):
     (~10.7 ms) — a net win whenever a factorization serves >=2 applies,
     which every refinement-based stage solve does.
 
-    On TPU hardware the inverse itself runs as the Pallas blocked
-    Gauss-Jordan (operators/pallas_kernels.py:batched_inverse_pallas) —
-    no-pivot is safe here: every call site is a PRECONDITIONER (the
-    dense stage path refines against exact f64 residuals; block-RAS only
-    preconditions BiCGSTAB), so a quality loss can only raise iteration
-    counts.
+    On TPU hardware the inverse runs as the Pallas blocked Gauss-Jordan
+    (operators/pallas_kernels.py:batched_inverse_pallas, in-block partial
+    pivoting) with a cheap runtime guard: a probe matvec checks
+    ||A (X b) - b|| for finiteness and preconditioner-grade accuracy, and
+    ``lax.cond`` falls back to the XLA inverse when the probe fails (the
+    fallback branch executes only when taken). Every call site is a
+    PRECONDITIONER (the dense stage path refines against exact f64
+    residuals; block-RAS only preconditions BiCGSTAB), so inverse quality
+    only sets contraction rates — the guard exists to exclude the
+    non-finite corner, not to certify accuracy.
     """
-    if use_pallas_inverse():
-        from ..operators.pallas_kernels import batched_inverse_pallas
-        return batched_inverse_pallas(A_dense.astype(jnp.float32))
-    # true-f32 internal matmuls: the TPU default (bf16 passes) would make
-    # the inverse itself the accuracy bottleneck of the refinement loop
-    with jax.default_matmul_precision("highest"):
-        return jnp.linalg.inv(A_dense.astype(jnp.float32))
+    A32 = A_dense.astype(jnp.float32)
+    if not use_pallas_inverse():
+        return _xla_inv_f32(A32)
+    from ..operators.pallas_kernels import batched_inverse_pallas
+    X = batched_inverse_pallas(A32)
+    # probe guard: every production use is an iterative-refinement / Krylov
+    # preconditioner, so the acceptance criterion is the CONTRACTION of a
+    # refinement probe, not the raw inverse residual (on the late-transient
+    # advective stage matrices even LAPACK's pivoted f32 inverse has O(1)
+    # elementwise ||XA - I|| entries — what matters is that
+    # x <- x + X (b - A x) still converges). Two probe refinement steps on
+    # b = A @ 1 must cut the residual to <= 0.25 ||b|| (contraction ~0.5
+    # per step or better); ~5 matvecs, O(S N^2) — noise next to the
+    # O(S N^3 / B) inversion itself.
+    hi = jax.lax.Precision.HIGHEST
+    mv = lambda M, v: jnp.einsum("sij,sj->si", M, v, precision=hi)
+    b = mv(A32, jnp.ones(A32.shape[:2], jnp.float32))
+    x1 = mv(X, b)
+    r1 = b - mv(A32, x1)
+    r2 = r1 - mv(A32, mv(X, r1))
+    nb = jnp.linalg.norm(b)
+    nr2 = jnp.linalg.norm(r2)
+    ok = jnp.isfinite(nr2) & (nr2 <= 0.25 * nb) & jnp.all(jnp.isfinite(X))
+    return jax.lax.cond(ok, lambda: X, lambda: _xla_inv_f32(A32))
 
 
 def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,

@@ -48,7 +48,7 @@ def test_pad_to_tile():
 
 @pytest.mark.parametrize("S,N", [(2, 128), (2, 300), (1, 40)])
 def test_batched_inverse_pallas(S, N):
-    """Blocked no-pivot Gauss-Jordan vs f64 inverse (interpret mode).
+    """Blocked in-block-pivoted Gauss-Jordan vs f64 inverse (interpret).
 
     Accuracy bar is f32-LU-level (~1e-6 residual on well-conditioned
     operands) — the production use is a refinement preconditioner
@@ -63,6 +63,26 @@ def test_batched_inverse_pallas(S, N):
     resid = np.einsum("sij,sjk->sik", np.asarray(A, np.float64), X)
     resid -= np.eye(N)
     assert np.max(np.abs(resid)) < 5e-6
+
+
+def test_batched_inverse_pallas_needs_pivoting():
+    """A row-permuted diagonally-dominant matrix (near-zero diagonal
+    pivots everywhere) is fatal for no-pivot elimination; the in-block
+    partial pivoting keeps the inverse finite and preconditioner-grade.
+    This is the regression pin for the late-transient advective stage
+    failure (tools/gj_pivot_study.py)."""
+    from pnp_tpu.operators.pallas_kernels import batched_inverse_pallas
+
+    rng = np.random.RandomState(1)
+    N = 256
+    A0 = (np.eye(N, dtype=np.float32) * 8
+          + rng.standard_normal((N, N)).astype(np.float32))
+    P = np.eye(N, dtype=np.float32)[rng.permutation(N)]
+    A = jnp.asarray((P @ A0).astype(np.float32))[None]
+    X = np.asarray(batched_inverse_pallas(A, interpret=True), np.float64)
+    assert np.isfinite(X).all()
+    resid = X @ np.asarray(A[0], np.float64) - np.eye(N)
+    assert np.max(np.abs(resid)) < 1e-2
 
 
 def test_batched_inverse_pallas_hardware_tpu():
