@@ -106,8 +106,7 @@ def run_scaled(levels: int, n_meas: int = 4, refresh: int = 4):
     def step_block(uphi, ucp, ucm, n):
         factor = system.species_factor(uphi)
         for _ in range(n):
-            ucp, ucm, _ = system.species_step_reuse(factor, uphi, ucp, ucm)
-            uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+            uphi, ucp, ucm = system.fused_step_reuse(factor, uphi, ucp, ucm)
         return uphi, ucp, ucm
 
     uphi, ucp, ucm = step_block(uphi, ucp, ucm, 1)      # warmup/compile

@@ -80,6 +80,9 @@ class PnpSystem:
     species_factor: Any = None       # (uphi) -> f32 stage factors
     species_step_reuse: Any = None   # (factor, uphi, ucp, ucm) -> (...)
     factor_kind: Any = None          # "dense" | "ras" | None
+    # species_step_reuse + poisson_solve as ONE program (one dispatch per
+    # step instead of two; XLA can overlap the tails):
+    fused_step_reuse: Any = None     # (factor, uphi, ucp, ucm) -> state'
 
 
 def build_pnp_system(
@@ -92,6 +95,7 @@ def build_pnp_system(
     stage_reduction: float = 1e-5,
     ras_block_size: int = 256,
     mixed_precision: bool = False,
+    poisson_inv_threshold: int = 16384,
 ) -> PnpSystem:
     """Compile the production pipeline.
 
@@ -123,6 +127,17 @@ def build_pnp_system(
     the constant Poisson operator (factored once) and a per-step
     refactored one-level variant for the advection-dominated species
     stage systems.
+
+    ``poisson_inv_threshold``: mid-size tier INSIDE the large-mesh path
+    (``dense_poisson_threshold < ndof <= poisson_inv_threshold``). The
+    decoupled Poisson operator is constant across the run, so its
+    constrained dense f32 inverse is computed ONCE on device (one MXU
+    inversion at setup; memory ndof^2 * 4 bytes gates the default) and
+    every 1e-10 re-solve becomes a handful of f64-residual refinement
+    passes — on TPU this replaces ~30 latency-bound BiCGSTAB iterations
+    with ~5 matvec+residual rounds. Species stage systems change every
+    step and stay on block-RAS. Set to 0 to force the fully iterative
+    Poisson (tests of the Krylov path do).
     """
     tab = tableau if tableau is not None else alexander2()
     dt = sys.tau
@@ -274,6 +289,26 @@ def build_pnp_system(
         M_phi_ras = BR.make_two_level_precond(ctx_ras, _inv_phi, None,
                                               op_phi, ctx_phi.free,
                                               p1_coarse=_p1_phi)
+
+    # ---- mid-size constant-Poisson f32-inverse tier -----------------------
+    # (dense_poisson_threshold < ndof <= poisson_inv_threshold): the
+    # Poisson operator never changes, so one device f32 inversion at setup
+    # turns every 1e-10 re-solve into an f64-residual refinement loop
+    # (contraction ~ kappa(A) * eps_f32 per pass) — ~5 MXU matvec rounds
+    # instead of ~30 latency-bound Krylov iterations per step on TPU.
+    solve_phi_inv = None
+    if use_block_ras and ndof <= poisson_inv_threshold:
+        from ..solvers.direct import batched_inv_f32, make_inv_refine_solver
+
+        @jax.jit  # one program: every eager op pays a TPU compile round-trip
+        def _phi_inv_setup(A_el_):
+            A32 = FA.dense_constrained_matrix(
+                A_el_.astype(jnp.float32), vt_phi.dofmap, ndof, ctx_phi.free)
+            return batched_inv_f32(A32[None], prefer_pallas=True)
+
+        solve_phi_inv = make_inv_refine_solver(
+            _phi_inv_setup(A_phi_el), A_phi_el[None].astype(jnp.float64),
+            vt_phi.dofmap, ndof, ctx_phi.free[None])
 
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
@@ -523,6 +558,9 @@ def build_pnp_system(
         if P_phi is not None:
             return q_phi + P_phi @ (ucm_ - ucp_), jnp.int32(1)
         r = _poisson_residual(uphi_, ucp_, ucm_)
+        if solve_phi_inv is not None:
+            x, k = solve_phi_inv(r[None], 1e-10)
+            return uphi_ - x[0], k
         if M_phi_ras is not None:
             from ..solvers.krylov import bicgstab
             if mixed_precision:
@@ -560,6 +598,14 @@ def build_pnp_system(
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
+    _step_reuse = (_species_step_reuse if use_dense_species else
+                   _species_step_reuse_ras if use_ras_factor else None)
+
+    def _fused_step_reuse(factor, uphi_, ucp_, ucm_):
+        ucp2, ucm2, _ = _step_reuse(factor, uphi_, ucp_, ucm_)
+        uphi2, _ = _poisson_solve(uphi_, ucp2, ucm2)
+        return uphi2, ucp2, ucm2
+
     return PnpSystem(
         sys=sys, space=space, pb=pb, pb_newton_iterations=pb_iters,
         uphi0=uphi0, ucp0=ucp0, ucm0=ucm0,
@@ -573,12 +619,11 @@ def build_pnp_system(
         species_factor=(jax.jit(_species_factor) if use_dense_species else
                         jax.jit(_species_factor_ras) if use_ras_factor
                         else None),
-        species_step_reuse=(jax.jit(_species_step_reuse)
-                            if use_dense_species else
-                            jax.jit(_species_step_reuse_ras)
-                            if use_ras_factor else None),
+        species_step_reuse=(jax.jit(_step_reuse) if _step_reuse else None),
         factor_kind=("dense" if use_dense_species else
-                     "ras" if use_ras_factor else None))
+                     "ras" if use_ras_factor else None),
+        fused_step_reuse=(jax.jit(_fused_step_reuse) if _step_reuse
+                          else None))
 
 
 @dataclasses.dataclass
@@ -610,6 +655,7 @@ def run_instationary_pnp_from_pb(
     ras_block_size: int = 256,
     ras_refresh_every: int = 1,
     mixed_precision: bool = False,
+    poisson_inv_threshold: int = 16384,
 ) -> PnpRunResult:
     """Run phases A-D. ``presolve_potential`` is a deviation switch: the
     reference's first species step sees the raw Dirichlet bias jump
@@ -621,7 +667,8 @@ def run_instationary_pnp_from_pb(
                               stage_reduction=stage_reduction,
                               dense_poisson_threshold=dense_poisson_threshold,
                               ras_block_size=ras_block_size,
-                              mixed_precision=mixed_precision)
+                              mixed_precision=mixed_precision,
+                              poisson_inv_threshold=poisson_inv_threshold)
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
     dt = system.dt
     if presolve_potential:
@@ -662,10 +709,13 @@ def run_instationary_pnp_from_pb(
             # raise BiCGSTAB counts (stage solves remain 1e-5-exact)
             if ras_factor is None or (i - start_step) % ras_refresh_every == 0:
                 ras_factor = system.species_factor(uphi)
-            ucp, ucm, _ = system.species_step_reuse(ras_factor, uphi,
-                                                    ucp, ucm)
             if i % sys.potentialUpdateFreq == 0:
-                uphi, _ = system.poisson_solve(uphi, ucp, ucm)
+                # one program for species stages + Poisson re-solve
+                uphi, ucp, ucm = system.fused_step_reuse(ras_factor, uphi,
+                                                         ucp, ucm)
+            else:
+                ucp, ucm, _ = system.species_step_reuse(ras_factor, uphi,
+                                                        ucp, ucm)
         elif i % sys.potentialUpdateFreq == 0:
             # one program for species stages + Poisson re-solve (saves a
             # dispatch + host sync vs separate calls)

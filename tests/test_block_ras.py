@@ -153,7 +153,7 @@ def test_driver_large_mesh_path_matches_dense(ref_test_dir):
     space = FunctionSpace(mesh, 1)
     sys_d = build_pnp_system(cfg, space)
     sys_r = build_pnp_system(cfg, space, dense_poisson_threshold=0,
-                             pb_field=sys_d.pb)
+                             poisson_inv_threshold=0, pb_field=sys_d.pb)
     # presolved regime (tamed transient): trajectories must track closely
     sd = (sys_d.uphi0, sys_d.ucp0, sys_d.ucm0)
     uphi, _ = sys_d.poisson_solve(*sd)
@@ -182,8 +182,10 @@ def test_mixed_precision_large_mesh_matches_f64(ref_test_dir):
     cfg.linearSolverIterations = 3000
     mesh = read_gmsh(cfg.meshfile)
     space = FunctionSpace(mesh, 1)
-    sys_r = build_pnp_system(cfg, space, dense_poisson_threshold=0)
+    sys_r = build_pnp_system(cfg, space, dense_poisson_threshold=0,
+                             poisson_inv_threshold=0)
     sys_m = build_pnp_system(cfg, space, dense_poisson_threshold=0,
+                             poisson_inv_threshold=0,
                              pb_field=sys_r.pb, mixed_precision=True)
     s = (sys_r.uphi0, sys_r.ucp0, sys_r.ucm0)
 
@@ -221,12 +223,35 @@ def test_ras_factor_reuse_trajectory(ref_test_dir):
     space = FunctionSpace(mesh, 1)
     base = run_instationary_pnp_from_pb(
         cfg, space, n_steps=4, dense_poisson_threshold=0,
-        presolve_potential=True)
+        poisson_inv_threshold=0, presolve_potential=True)
     reuse = run_instationary_pnp_from_pb(
         cfg, space, n_steps=4, dense_poisson_threshold=0,
-        presolve_potential=True, ras_refresh_every=4)
+        poisson_inv_threshold=0, presolve_potential=True,
+        ras_refresh_every=4)
     for a, b in zip((base.phi, base.cp, base.cm),
                     (reuse.phi, reuse.cp, reuse.cm)):
         assert bool(jnp.isfinite(b).all())
         scale = float(jnp.max(jnp.abs(a))) + 1.0
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+
+def test_poisson_inv_tier_matches_exact(ref_test_dir):
+    """Mid-size constant-Poisson f32-inverse tier (poisson_inv_threshold):
+    the refinement-based 1e-10 re-solve must agree with the dense-path
+    exact affine solve far below 1e-8 (same state, same linear system)."""
+    from pnp_tpu.config import read_config
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    cfg.linearSolverIterations = 3000
+    space = FunctionSpace(read_gmsh(cfg.meshfile), 1)
+    sys_d = build_pnp_system(cfg, space)                 # exact affine path
+    sys_t = build_pnp_system(cfg, space, dense_poisson_threshold=0,
+                             pb_field=sys_d.pb)          # tier engages
+    s = (sys_d.uphi0, sys_d.ucp0, sys_d.ucm0)
+    phi_d, _ = sys_d.poisson_solve(*s)
+    phi_t, its = sys_t.poisson_solve(*s)
+    scale = float(jnp.max(jnp.abs(phi_d))) + 1.0
+    assert float(jnp.max(jnp.abs(phi_d - phi_t))) / scale < 1e-8
+    assert int(its) < 40, "refinement saturating"
