@@ -82,6 +82,7 @@ class DistPnpSystem:
     # Schwarz factor amortization (None for non-uniform-diagonal tableaux)
     species_factor: Any = None         # (uphi) -> block-LU factors
     species_step_reuse: Any = None     # (factor, uphi, uc) -> (uc', iters)
+    fused_step_reuse: Any = None       # (factor, uphi, uc) -> (uphi', uc')
 
     def to_global(self, v) -> np.ndarray:
         """Owner-partitioned (Kb,) -> global (ndof,) numpy (for IO);
@@ -274,6 +275,12 @@ def build_dist_pnp_system(
         K_pair = _build_K_pair(uphi_)
         return _species_stages(K_pair, uc_, SW.make_ras_precond(ctx, lu_out))
 
+    def _fused_step_reuse(lu_out, uphi_, uc_):
+        # one program per amortized step (species stages + Poisson re-solve)
+        uc2, _ = _species_step_reuse(lu_out, uphi_, uc_)
+        uphi2, _ = _poisson_solve(uphi_, uc2)
+        return uphi2, uc2
+
     def _poisson_solve(uphi_, uc_):
         """SLP apply at tolerance 1e-10 (reference md.hh:349-350)."""
         ue = ctx.gather_elem(uphi_)
@@ -309,7 +316,9 @@ def build_dist_pnp_system(
         scan_steps=scan_steps, dt=dt,
         species_factor=jax.jit(_species_factor) if uniform_diag else None,
         species_step_reuse=(jax.jit(_species_step_reuse)
-                            if uniform_diag else None))
+                            if uniform_diag else None),
+        fused_step_reuse=(jax.jit(_fused_step_reuse)
+                          if uniform_diag else None))
 
 
 @dataclasses.dataclass
@@ -406,9 +415,10 @@ def run_distributed_pnp_from_pb(
             # counts (stage solves remain 1e-5-exact)
             if factor is None or (i - start_step) % ras_refresh_every == 0:
                 factor = system.species_factor(uphi)
-            uc, _ = system.species_step_reuse(factor, uphi, uc)
             if i % sys.potentialUpdateFreq == 0:
-                uphi, _ = system.poisson_solve(uphi, uc)
+                uphi, uc = system.fused_step_reuse(factor, uphi, uc)
+            else:
+                uc, _ = system.species_step_reuse(factor, uphi, uc)
         elif i % sys.potentialUpdateFreq == 0:
             uphi, uc = system.fused_step(uphi, uc)
         else:
