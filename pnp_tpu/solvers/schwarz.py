@@ -90,6 +90,106 @@ def factor_local_matrices(A_loc: Array):
     return jax.lax.linalg.lu(A_loc.astype(jnp.float32))
 
 
+def _local_spec(mesh, ndim: int, k_axis: int):
+    from jax.sharding import PartitionSpec as P
+    spec = [None] * ndim
+    spec[k_axis] = "e"
+    return P(*spec)
+
+
+def invert_local_matrices(ctx, A_loc: Array) -> Array:
+    """Per-shard batched f32 explicit inverses UNDER ``shard_map``.
+
+    The r2 path factorized with XLA LU under GSPMD and applied
+    latency-bound triangular-solve pairs (VERDICT r2 item 5 /
+    solvers/schwarz.py:88-90 in r2). This is the roadmap replacement:
+    each device inverts ITS OWN subdomain matrix inside ``shard_map`` —
+    purely local batched math, no collectives inside the mapped function
+    (this jax build mis-lowers collectives in shard_map,
+    parallel/halo.py:200 — local-only compute is unaffected), so the
+    preconditioner apply becomes one MXU matvec per subdomain (measured
+    2.5 ms vs 10.7 ms for the triangular pair at the flagship shape,
+    solvers/direct.py). On TPU the local inversion prefers the
+    hardware-proven Pallas blocked-GJ kernel behind the contraction-probe
+    guard (solvers/direct.py:batched_inv_f32).
+
+    A_loc: (K, L, L) or (S, K, L, L) from :func:`build_local_matrices`.
+    Returns f32 inverses of the same shape. ICI story: zero — the only
+    cross-device traffic of a Schwarz apply is the halo exchange of the
+    residual/correction (ctx.local_with_halo), exactly the NOVLP
+    smoother locality of DUNE-ISTL.
+    """
+    squeeze = A_loc.ndim == 3
+    if squeeze:
+        A_loc = A_loc[None]
+    S, K, L, _ = A_loc.shape
+    from .direct import batched_inv_f32
+    prefer = jax.default_backend() == "tpu"
+
+    def local_inv(a):                       # a: (S, K_loc, L, L) per shard
+        Kl = a.shape[1]
+        return batched_inv_f32(
+            a.reshape(S * Kl, L, L).astype(jnp.float32),
+            prefer_pallas=prefer).reshape(S, Kl, L, L)
+
+    if not _shard_map_ok(ctx):
+        # eager multi-process setup call: a shard_map output would be a
+        # GLOBAL array spanning non-addressable devices, which later jit
+        # programs may not close over (DistContext.host_tables mode) —
+        # compute replicated-locally instead (identical values)
+        inv = local_inv(A_loc)
+    else:
+        inv = jax.shard_map(local_inv, mesh=ctx.mesh,
+                            in_specs=_local_spec(ctx.mesh, 4, 1),
+                            out_specs=_local_spec(ctx.mesh, 4, 1))(A_loc)
+    return inv[0] if squeeze else inv
+
+
+def _shard_map_ok(ctx) -> bool:
+    """shard_map is safe except when called EAGERLY under multi-process
+    host_tables mode (its global output cannot be closed over by jit)."""
+    if not getattr(ctx, "host_tables", False):
+        return True
+    from jax._src.core import trace_state_clean
+    return not trace_state_clean()
+
+
+def make_ras_inv_precond(ctx, inv: Array, restricted: bool = True):
+    """M(r) from explicit local inverses: one halo exchange + one batched
+    MXU matvec per subdomain (the matvec runs under ``shard_map`` — local
+    contraction only, no collectives inside).
+
+    ``inv``: (K, L, L) / (S, K, L, L) from :func:`invert_local_matrices`.
+    Same restriction semantics as :func:`make_ras_precond`.
+    """
+    plan = ctx.plan
+    B_N = plan.B_N
+    hi = jax.lax.Precision.HIGHEST
+
+    def precond(r: Array) -> Array:
+        rb = r[None] if r.ndim == 1 else r
+        r_loc = ctx.local_with_halo(rb).astype(jnp.float32)   # (S, K, L)
+        iv = inv[None] if inv.ndim == 3 else inv              # (Si, K, L, L)
+
+        def local_apply(iv_l, rl):
+            ivb = jnp.broadcast_to(iv_l, (rl.shape[0],) + iv_l.shape[1:])
+            return jnp.einsum("skij,skj->ski", ivb, rl, precision=hi)
+
+        z = jax.shard_map(local_apply, mesh=ctx.mesh,
+                          in_specs=(_local_spec(ctx.mesh, 4, 1),
+                                    _local_spec(ctx.mesh, 3, 1)),
+                          out_specs=_local_spec(ctx.mesh, 3, 1))(iv, r_loc)
+        z = z.astype(r.dtype)
+        if restricted:
+            out = z[:, :, :B_N]
+        else:
+            out = z[:, :, :B_N] + ctx._backward_b(z[:, :, B_N:])
+        out = out.reshape(rb.shape[0], -1)
+        return out[0] if r.ndim == 1 else out
+
+    return precond
+
+
 def make_ras_precond(ctx, lu_out, restricted: bool = True):
     """Return M(r): one halo exchange + batched f32 triangular solves.
 
@@ -134,7 +234,16 @@ def make_ras_precond(ctx, lu_out, restricted: bool = True):
 
 def make_schwarz_precond(ctx, A_el: Array, free: Array,
                          rel_shift: float = 1e-7, restricted: bool = True,
-                         env: bool = True):
-    """Assemble + factor + return the preconditioner in one call."""
+                         env: bool = True, use_inverse: bool = True):
+    """Assemble + factor + return the preconditioner in one call.
+
+    ``use_inverse`` (default): per-shard explicit inverses under
+    shard_map (:func:`invert_local_matrices`) — apply is one MXU matvec.
+    ``False``: the r2 XLA-LU + triangular-solve path (kept for A/B
+    comparison, tools/dist_step_cost.py).
+    """
     A_loc = build_local_matrices(ctx, A_el, free, rel_shift, env=env)
+    if use_inverse:
+        return make_ras_inv_precond(ctx, invert_local_matrices(ctx, A_loc),
+                                    restricted)
     return make_ras_precond(ctx, factor_local_matrices(A_loc), restricted)

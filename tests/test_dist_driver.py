@@ -109,6 +109,63 @@ def test_checkpoint_resume_across_device_counts(problem, run8, tmp_path):
 
 
 @needs_8
+def test_pore_distributed_matches_single_chip(ref_test_dir, tmp_path):
+    """PRODUCTION-SHAPE parity (VERDICT r2 item 4): 3 steps of the
+    3,048-node pore transient on 8 devices vs the single-chip dense path,
+    fields AND current.dat. Halo widths, Schwarz blocks, and owner
+    partitioning are exercised at the shape the engine ships with, not
+    only on the 46-dof one_wall toy. Both runs presolve the potential
+    (tamed transient) and share the PB bootstrap so the comparison
+    isolates phase C/D; tolerance is the documented stage-solve slack
+    budget (1e-5 stage solves leave ~1e-4 relative slack over 3 steps,
+    CLAUDE.md / test_driver_large_mesh_path_matches_dense)."""
+    from pnp_tpu.workloads.pb import solve_pb
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    cfg.verbosity = 0
+    cfg.outputFreq = 1
+    cfg.linearSolverIterations = 3000
+    space = FunctionSpace(read_gmsh(cfg.meshfile), 1)
+    pb = np.asarray(solve_pb(cfg, space).u)
+    out_d = tmp_path / "dist"
+    res_d = run_distributed_pnp_from_pb(
+        cfg, space, make_device_mesh(8), n_steps=3, pb_field=pb,
+        presolve_potential=True, output_dir=str(out_d))
+    res_s = run_instationary_pnp_from_pb(
+        cfg, space, n_steps=3, presolve_potential=True,
+        output_dir=str(tmp_path / "single"))
+    for name, a, b in (("phi", res_s.phi, res_d.phi),
+                       ("cp", res_s.cp, res_d.cp),
+                       ("cm", res_s.cm, res_d.cm)):
+        a = np.asarray(a)
+        assert np.isfinite(b).all(), name
+        scale = float(np.max(np.abs(a))) + 1.0
+        assert float(np.max(np.abs(a - b))) / scale < 2e-4, name
+    c_d = np.loadtxt(out_d / "current.dat")
+    c_s = np.loadtxt(tmp_path / "single" / "current.dat")
+    assert c_d.shape == c_s.shape
+    scale = np.max(np.abs(c_s)) + 1.0
+    np.testing.assert_allclose(c_d, c_s, rtol=0, atol=2e-4 * scale)
+
+
+@needs_8
+def test_p2_distributed_matches_single_chip(ref_test_dir):
+    """P2 THROUGH THE DISTRIBUTED CONTEXT (VERDICT r2 item 8): edge DOFs
+    partitioned over 4 devices — ownership/halo of non-vertex DOFs is
+    exactly the hard part SURVEY §7 called out. Trajectory must match the
+    single-chip P2 run to solver tolerance."""
+    cfg = read_config(ONE_WALL)
+    cfg.verbosity = 0
+    space = FunctionSpace(read_gmsh(cfg.meshfile), 2)
+    res_d = run_distributed_pnp_from_pb(cfg, space, make_device_mesh(4),
+                                        n_steps=2)
+    res_s = run_instationary_pnp_from_pb(cfg, space, n_steps=2)
+    np.testing.assert_allclose(res_d.phi, np.asarray(res_s.phi), atol=1e-8)
+    np.testing.assert_allclose(res_d.cp, np.asarray(res_s.cp), atol=1e-8)
+    np.testing.assert_allclose(res_d.cm, np.asarray(res_s.cm), atol=1e-8)
+
+
+@needs_8
 def test_schwarz_factor_reuse_matches(problem, run8):
     """ras_refresh_every amortizes the distributed Schwarz block-LU; the
     stale factor only raises Krylov counts, so the trajectory matches the

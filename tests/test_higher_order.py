@@ -50,3 +50,25 @@ def test_production_driver_higher_order(ref_test_dir, degree):
     expect = {2: mesh.num_nodes + n_edges,
               3: mesh.num_nodes + 2 * n_edges + mesh.num_tris}[degree]
     assert space.ndof == expect
+
+
+def test_p2_through_block_ras_large_mesh():
+    """P2 THROUGH THE LARGE-MESH PATH (VERDICT r2 item 8): a refined wall
+    mesh at P2 pushes ndof past the dense threshold (8192), so the PB
+    Newton runs BiCGSTAB + overlapping block-RAS with edge DOFs in the
+    blocks — edge-DOF ownership/overlap is exercised off the dense path.
+    The converged field must still match the analytic DH profile."""
+    from pnp_tpu.meshio.refine import refine_uniform
+
+    j, L = 1e-3, 5.0
+    s = wall_sys(j)
+    s.linearSolver = "BCGS_SSORk"
+    kappa = np.sqrt(8 * np.pi * s.l_b * s.c0)
+    mesh = refine_uniform(rect_mesh(80, 10, L, 0.5), 1)
+    space = FunctionSpace(mesh, 2)
+    assert space.ndof > 8192, space.ndof     # block-RAS engages
+    res = solve_pb(s, space)
+    assert res.converged, res.defect
+    want = dh_exact(space.dof_coords[:, 0], j, kappa, L)
+    err = rel_l2(np.asarray(res.u), want)
+    assert err < 1e-4, err                   # well under P1 at similar h
