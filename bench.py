@@ -93,7 +93,14 @@ def run_headline(n_meas: int = 10):
 
 
 def run_scaled(levels: int, n_meas: int = 4, refresh: int = 4):
-    """Large-mesh path (block-RAS, factor amortized) on refined pore."""
+    """Large-mesh path (block-RAS, factor amortized) on refined pore.
+
+    Emits the per-phase breakdown VERDICT r2 item 2 demanded: species
+    factor build / species stage solves (+iterations) / Poisson re-solve
+    (+iterations), so the scaled regime is never an unprofiled single
+    number again. The amortized-step headline divides the factor cost
+    over the refresh cadence.
+    """
     import jax
     import jax.numpy as jnp
     from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
@@ -116,13 +123,45 @@ def run_scaled(levels: int, n_meas: int = 4, refresh: int = 4):
     jax.block_until_ready(uphi)
     elapsed = time.perf_counter() - t0
     assert bool(jnp.isfinite(uphi).all()), "non-finite state"
-    return {"nodes": space.ndof,
-            "dofs_per_s": round(3 * space.ndof * n_meas / elapsed, 2),
-            "step_ms": round(elapsed / n_meas * 1e3, 1),
-            "ras_refresh_every": refresh}
+    out = {"nodes": space.ndof,
+           "dofs_per_s": round(3 * space.ndof * n_meas / elapsed, 2),
+           "step_ms": round(elapsed / n_meas * 1e3, 1),
+           "ras_refresh_every": refresh}
+    # per-phase breakdown (each as its own program, dependency-chained)
+    try:
+        factor = system.species_factor(uphi)
+        jax.block_until_ready(factor)
+        t0 = time.perf_counter()
+        factor = system.species_factor(uphi)
+        jax.block_until_ready(factor)
+        fa_ms = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        ucp2, ucm2, sp_it = system.species_step_reuse(factor, uphi, ucp, ucm)
+        jax.block_until_ready(ucp2)
+        sp_ms = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        uphi2, po_it = system.poisson_solve(uphi, ucp2, ucm2)
+        jax.block_until_ready(uphi2)
+        po_ms = (time.perf_counter() - t0) * 1e3
+        out["phases"] = {
+            "species_factor_ms": round(fa_ms, 1),
+            "species_ms": round(sp_ms, 1),
+            "species_stage_iters": int(sp_it),
+            "poisson_ms": round(po_ms, 1),
+            "poisson_iters": int(po_it)}
+    except Exception as e:
+        sys.stderr.write(f"scaled L{levels} phase breakdown skipped: {e}\n")
+    return out
 
 
 def main():
+    import subprocess
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scaled":
+        # subprocess mode: one level per process — a 16 GB chip cannot
+        # hold the 46k Poisson inverse next to another level's buffers
+        out = run_scaled(int(sys.argv[2]), n_meas=int(sys.argv[3]))
+        print("SCALED-JSON:" + json.dumps(out))
+        return
     value = phases = None
     for attempt in range(2):
         try:
@@ -137,9 +176,19 @@ def main():
         return
 
     scaled = []
-    for levels in (1, 2):
+    me = os.path.abspath(__file__)
+    for levels, n_meas in ((1, 4), (2, 4), (3, 2)):
         try:
-            scaled.append(run_scaled(levels))
+            r = subprocess.run(
+                [sys.executable, "-u", me, "--scaled", str(levels),
+                 str(n_meas)],
+                capture_output=True, text=True, timeout=3600)
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("SCALED-JSON:")]
+            if not line:
+                raise RuntimeError(
+                    f"rc={r.returncode}: {r.stderr[-400:]}")
+            scaled.append(json.loads(line[-1][len("SCALED-JSON:"):]))
         except Exception as e:
             sys.stderr.write(f"scaled L{levels} failed: {e}\n")
             scaled.append(None)

@@ -244,7 +244,10 @@ def _gj_inv_small(Pbuf, permbuf, n: int):
         # fixup instead of a second (n, n) reduction); the pivot value
         # M[r, r] post-swap is c0[p]
         c0r = jnp.sum(jnp.where(rows_n1 == r, c0, zero))
-        piv = jnp.sum(jnp.where(pmask, c0, zero))
+        # extract the pivot from the SINGLE selected row p (pmask can hold
+        # several rows tying for max |score|: summing over it cancels +v/-v
+        # ties to a 0 pivot and doubles same-sign ties)
+        piv = jnp.sum(jnp.where(rows_n1 == p, c0, zero))
         c = jnp.where(rows_n1 == r, piv,
                       jnp.where(rows_n1 == p, c0r, c0))
         ipiv = 1.0 / piv

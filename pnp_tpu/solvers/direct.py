@@ -100,57 +100,183 @@ def batched_inv_f32(A_dense: Array, prefer_pallas: bool = False):
         and __import__("os").environ.get("PNP_TPU_PALLAS_INV") != "0")
     if not take_pallas:
         return _xla_inv_f32(A32)
+    X, ok = _pallas_inv_probe(A32)
+    return jax.lax.cond(ok, lambda: X, lambda: _xla_inv_f32(A32))
+
+
+def _pallas_inv_probe(A32: Array):
+    """Pallas blocked-GJ inverses + contraction-probe verdict.
+
+    Every production use is an iterative-refinement / Krylov
+    preconditioner, so the acceptance criterion is the CONTRACTION of a
+    refinement probe, not the raw inverse residual (on the late-transient
+    advective stage matrices even LAPACK's pivoted f32 inverse has O(1)
+    elementwise ||XA - I|| entries — what matters is that
+    x <- x + X (b - A x) still converges). Two probe refinement steps on
+    b = A @ 1 must cut the residual to <= 0.25 ||b|| (contraction ~0.5
+    per step or better); ~5 matvecs, O(S N^2) — noise next to the
+    O(S N^3 / B) inversion itself. Norms are PER MATRIX: one diverging
+    subdomain among S must not hide under an aggregate norm (a finite but
+    diverging preconditioner saturates the refinement loop downstream —
+    the exact corner the guard exists to exclude).
+    """
     from ..operators.pallas_kernels import batched_inverse_pallas
     X = batched_inverse_pallas(A32)
-    # probe guard: every production use is an iterative-refinement / Krylov
-    # preconditioner, so the acceptance criterion is the CONTRACTION of a
-    # refinement probe, not the raw inverse residual (on the late-transient
-    # advective stage matrices even LAPACK's pivoted f32 inverse has O(1)
-    # elementwise ||XA - I|| entries — what matters is that
-    # x <- x + X (b - A x) still converges). Two probe refinement steps on
-    # b = A @ 1 must cut the residual to <= 0.25 ||b|| (contraction ~0.5
-    # per step or better); ~5 matvecs, O(S N^2) — noise next to the
-    # O(S N^3 / B) inversion itself.
     hi = jax.lax.Precision.HIGHEST
     mv = lambda M, v: jnp.einsum("sij,sj->si", M, v, precision=hi)
     b = mv(A32, jnp.ones(A32.shape[:2], jnp.float32))
     x1 = mv(X, b)
     r1 = b - mv(A32, x1)
     r2 = r1 - mv(A32, mv(X, r1))
-    nb = jnp.linalg.norm(b)
-    nr2 = jnp.linalg.norm(r2)
-    ok = jnp.isfinite(nr2) & (nr2 <= 0.25 * nb) & jnp.all(jnp.isfinite(X))
-    return jax.lax.cond(ok, lambda: X, lambda: _xla_inv_f32(A32))
+    nb = jnp.linalg.norm(b, axis=-1)                     # (S,)
+    nr2 = jnp.linalg.norm(r2, axis=-1)
+    ok = (jnp.all(jnp.isfinite(nr2)) & jnp.all(nr2 <= 0.25 * nb)
+          & jnp.all(jnp.isfinite(X)))
+    return X, ok
 
 
-def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
-                           free: Array, maxrefine: int = 40):
-    """Return solve(r, reduction) -> (x, n_refinements).
+def scaled_inv_apply(Ainv, rk: Array) -> Array:
+    """Preconditioner apply for a plain or (X_eq, s) scaled inverse.
 
-    ``Ainv``: f32 explicit inverses of the batched constrained dense
-    matrices (:func:`batched_inv_f32`). Same refinement contract as
+    Plain: d = X rk. Scaled (the very-large-N tier, where the inverse is
+    computed on the pre-equilibrated matrix A_eq = S A S and never
+    unscaled to avoid an extra ndof^2 buffer): d = S (X_eq (S rk)).
+    Output in rk's dtype.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    if isinstance(Ainv, tuple):
+        X_eq, s = Ainv
+        Np = X_eq.shape[-1]
+        n = rk.shape[-1]
+        v = (rk * s[:n]).astype(jnp.float32)
+        if Np != n:
+            # the very-large tier keeps its inverse at the 128-padded size
+            # (identity on pad rows) so the Pallas GJ never re-pads the
+            # 8 GB buffer; pad/crop the small vectors instead
+            v = jnp.pad(v, ((0, 0), (0, Np - n)))
+        # DEFAULT precision (bf16 passes) on purpose: the equilibrated
+        # Poisson inverse contracts ~5e-5/pass at 46k — orders of
+        # magnitude more headroom than the 1e-10 target needs — and the
+        # TPU A/B measured identical refinement counts (k=4) with a
+        # strictly cheaper apply (tools log r3). The plain branch below
+        # keeps HIGHEST: the advective species inverses have no such
+        # headroom (default multiplied refinement 2 -> 10, CLAUDE.md r1).
+        d = jnp.einsum("sij,sj->si", X_eq, v)
+        return (d[:, :n] * s[:n]).astype(rk.dtype)
+    d = jnp.einsum("sij,sj->si", Ainv, rk.astype(jnp.float32), precision=hi)
+    return d.astype(rk.dtype)
+
+
+def inv_f32_setup_large(A_eq32: Array, s32: Array, op_probe, n: int):
+    """Very-large-N setup inverse: donated pre-equilibrated input +
+    element-operator probe.
+
+    At 46k dofs the dense f32 matrix is 8.7 GB — holding BOTH A and its
+    inverse (or an equilibrated copy) exceeds the v5e's 16 GB HBM, so the
+    caller assembles the equilibrated matrix A_eq = S A S DIRECTLY from
+    scaled element blocks (one buffer), this donates it into the Pallas
+    blocked-GJ (in place via input_output_aliases), and the contraction
+    probe checks x <- x + S X_eq S (b - A x) against the matrix-free
+    ELEMENT operator ``op_probe`` (batched, constrained, f64) instead of
+    the dense A. Returns (X_eq, ok) with ok fetched host-side; on
+    probe/compile failure the caller keeps its iterative path (no host
+    inversion at this scale — LAPACK would take ~an hour at 46k here).
+    The unscaling S (...) S stays folded into every apply
+    (:func:`scaled_inv_apply`) — materializing the unscaled inverse would
+    cost another ndof^2 buffer.
+    """
+    from ..operators.pallas_kernels import batched_inverse_pallas
+
+    def build(a):
+        X_eq = batched_inverse_pallas(a, equilibrate=False)
+        ones = jnp.ones((a.shape[0], n), jnp.float64)
+        b = op_probe(ones)
+        x1 = scaled_inv_apply((X_eq, s32), b)
+        r1 = b - op_probe(x1)
+        x2 = x1 + scaled_inv_apply((X_eq, s32), r1)
+        r2 = b - op_probe(x2)
+        nb = jnp.linalg.norm(b, axis=-1)
+        nr2 = jnp.linalg.norm(r2, axis=-1)
+        ok = (jnp.all(jnp.isfinite(nr2)) & jnp.all(nr2 <= 0.25 * nb)
+              & jnp.all(jnp.isfinite(X_eq)))
+        return X_eq, ok
+
+    try:
+        # the kernel's two (128, Np) f32 row buffers exceed the DEFAULT
+        # 16 MB scoped-vmem limit above ~16k dofs (45.7 MB at 46,720);
+        # physical VMEM is 128 MB — raise the limit per-compile (the
+        # remote compile service forwards proto-backed XLA flags)
+        compiled = jax.jit(build, donate_argnums=0).lower(A_eq32).compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"})
+        X_eq, ok = compiled(A_eq32)
+        return X_eq, bool(ok)
+    except Exception as e:  # Mosaic compile/HBM failure — caller falls back
+        import sys
+        print(f"[pnp_tpu] very-large inverse tier disabled: "
+              f"{str(e)[:300]}", file=sys.stderr, flush=True)
+        return None, False
+
+
+def inv_f32_setup(A_dense: Array) -> Array:
+    """Setup-time batched f32 inverse with HOST-dispatched fallback.
+
+    For one-time factorizations of CONSTANT operators (the mid-size
+    Poisson tier, workloads/instationary_pnp_from_pb.py). Unlike
+    :func:`batched_inv_f32`, whose ``lax.cond`` compiles the XLA-inverse
+    fallback into the same program — fine at RAS-block sizes, but the XLA
+    f32 LU blows the v5e's 16 MB scoped-vmem limit above ~8k dofs
+    (BENCH_r02.json tail / VERDICT r2 item 1) — this runs the Pallas
+    inverse + contraction probe as its own program, fetches the scalar
+    verdict to host, and only on probe/compile failure computes the
+    inverse HOST-SIDE with LAPACK (f64, cast to f32). No large-N XLA LU
+    is ever compiled. Setup-time only: the host sync (and the worst-case
+    host inversion) are one-time costs, never per-step.
+    """
+    A32 = jnp.asarray(A_dense, jnp.float32)
+    if jax.default_backend() == "tpu":
+        try:
+            X, ok = jax.jit(_pallas_inv_probe)(A32)
+            if bool(ok):
+                return X
+        except Exception:  # Mosaic compile/vmem failure at extreme N
+            pass
+        import numpy as np
+        return jnp.asarray(
+            np.linalg.inv(np.asarray(A32, np.float64)).astype(np.float32))
+    return _xla_inv_f32(A32)  # CPU LAPACK: no vmem limits
+
+
+def make_inv_refine_solver_arg(A_el: Array, dofmap: Array, ndof: int,
+                               free: Array, maxrefine: int = 40):
+    """Return solve(Ainv, r, reduction) -> (x, n_refinements).
+
+    ``Ainv`` is a RUNTIME ARGUMENT, never a closure constant: the axon
+    remote-compile service ships closed-over constants inside the compile
+    request, and a large-N inverse (560 MB at 11,839 dofs) trips its
+    request-body limit (HTTP 413 — observed killing the r3 mid-size tier
+    before this restructure). Same refinement contract as
     :func:`make_lu_refine_solver`: correctness comes from the exact f64
     element-block residual, the inverse only sets the contraction rate.
     """
     op = FA.make_constrained_operator_batched(A_el, dofmap, ndof, free)
 
-    def apply_m(rk):
-        # HIGHEST: TPU default f32 matmul runs bf16 passes, which would
-        # degrade the contraction rate to ~1e-3 and multiply refinement
-        # counts (measured 2 -> 10 on the pore problem)
-        d = jnp.einsum("sij,sj->si", Ainv, rk.astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
-        return d.astype(rk.dtype)
+    def apply_m(Ainv, rk):
+        # HIGHEST inside scaled_inv_apply: TPU default f32 matmul runs
+        # bf16 passes, which would degrade the contraction rate to ~1e-3
+        # and multiply refinement counts (measured 2 -> 10 on the pore
+        # problem). ``Ainv`` may be a plain inverse or the (X_eq, s)
+        # scaled pair of the very-large-N tier.
+        return scaled_inv_apply(Ainv, rk)
 
-    def solve(r: Array, reduction: float):
+    def solve(Ainv: Array, r: Array, reduction: float):
         norm0 = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True))
         tol = reduction * jnp.maximum(norm0, 1e-300)
         # unroll the first refinement unconditionally: at production stage
         # tolerances the loop runs >=1 iteration every step, and each
         # while_loop round-trip pays a latency-bound norm+cond evaluation
-        x0 = apply_m(r)
+        x0 = apply_m(Ainv, r)
         r0 = r - op(x0)
-        x1 = x0 + apply_m(r0)
+        x1 = x0 + apply_m(Ainv, r0)
         r1 = r - op(x1)
 
         def cond(state):
@@ -161,7 +287,7 @@ def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
 
         def body(state):
             x, rk, k = state
-            x = x + apply_m(rk)
+            x = x + apply_m(Ainv, rk)
             rk = r - op(x)
             return (x, rk, k + 1)
 
@@ -169,6 +295,15 @@ def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
         return x, k
 
     return solve
+
+
+def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
+                           free: Array, maxrefine: int = 40):
+    """Closure form of :func:`make_inv_refine_solver_arg` for call sites
+    whose ``Ainv`` is small enough to embed (the per-step species factors
+    at flagship size, ~74 MB) or is already a traced value."""
+    solve = make_inv_refine_solver_arg(A_el, dofmap, ndof, free, maxrefine)
+    return lambda r, reduction: solve(Ainv, r, reduction)
 
 
 def make_lu_refine_solver(lu_piv, A_el: Array, dofmap: Array, ndof: int,

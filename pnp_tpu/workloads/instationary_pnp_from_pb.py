@@ -94,8 +94,10 @@ def build_pnp_system(
     dense_poisson_threshold: int = 8192,
     stage_reduction: float = 1e-5,
     ras_block_size: int = 256,
-    mixed_precision: bool = False,
-    poisson_inv_threshold: int = 16384,
+    mixed_precision: Optional[bool] = None,
+    poisson_inv_threshold: int = 49152,
+    species_inv_threshold: int = 0,
+    species_two_level: Optional[bool] = None,
 ) -> PnpSystem:
     """Compile the production pipeline.
 
@@ -138,6 +140,19 @@ def build_pnp_system(
     with ~5 matvec+residual rounds. Species stage systems change every
     step and stay on block-RAS. Set to 0 to force the fully iterative
     Poisson (tests of the Krylov path do).
+
+    ``species_inv_threshold``: mid-size SPECIES tier inside the block-RAS
+    path (TPU only; DEFAULT 0 = off). Up to this size the batched
+    (2, ndof, ndof) f32 stage inverses replace the 10-12 BiCGSTAB
+    iterations per stage solve with a handful of refinement matvecs,
+    rebuilt per refresh by a host-dispatched Pallas-GJ +
+    contraction-probe program with an automatic RAS-factor fallback per
+    refresh window (the r2 non-finite corner cannot recur as a silent
+    default). Measured on the v5e at 11,839 nodes: fused step 369 -> 143
+    ms at a fresh factor, but the 727 ms GJ factor build per refresh
+    makes the EFFECTIVE step a wash vs one-level RAS (~390 ms both), and
+    the mixed-precision RAS default beats both — kept opt-in for
+    slowly-varying regimes where the refresh cadence can stretch.
     """
     tab = tableau if tableau is not None else alexander2()
     dt = sys.tau
@@ -146,6 +161,20 @@ def build_pnp_system(
                          and device_mesh is None)
     use_block_ras = (device_mesh is None and not use_dense_poisson
                      and sys.linearSolver == "BCGS_SSORk")
+    if mixed_precision is None:
+        # TPU default (r3 A/B at 46,653 nodes, same iteration counts):
+        # f32 operator applies cut the f64-EMULATED SpMV cost — species
+        # stage solves 2017 -> 859 ms, Poisson-RAS 4706 -> 3141 ms.
+        # CPU keeps native f64 (mixed only adds casts there); accuracy is
+        # covered by the two-pass f64-residual refinement and validated
+        # in tests/test_block_ras.py.
+        mixed_precision = (use_block_ras
+                           and jax.default_backend() == "tpu")
+    if species_two_level is None:
+        # opt-in pending TPU profile evidence (CLAUDE.md rule); flips to a
+        # size-gated default once the scaled e2e records the win
+        species_two_level = os.environ.get("PNP_TPU_SPECIES_2L") == "1"
+    species_two_level = species_two_level and use_block_ras
 
     # ---- Phase A: PB bootstrap ------------------------------------------
     if pb_field is None:
@@ -256,24 +285,137 @@ def build_pnp_system(
     # One (N,N)@(N,) matvec per re-solve replaces residual assembly + two
     # inverse applies (measured 17 ms -> ~1 ms at the pore size). Ainv is
     # a one-time host f64 inversion (XLA TPU has no f64 LU).
-    P_phi = q_phi = None
+    dense_phi_pre = None
     if A_phi_dense is not None:
         Ainv_np = np.linalg.inv(np.asarray(A_phi_dense))
         u_bc_np = np.where(np.asarray(ctx_phi.free), 0.0,
                            np.asarray(ctx_phi.dirichlet))
-        P_phi = jnp.asarray(-(Ainv_np @ np.asarray(M4_phi_dense)))
-        q_phi = jnp.asarray(u_bc_np - Ainv_np @ np.asarray(rhs_bc_phi))
+        dense_phi_pre = (jnp.asarray(-(Ainv_np @ np.asarray(M4_phi_dense))),
+                         jnp.asarray(u_bc_np - Ainv_np @ np.asarray(rhs_bc_phi)))
     op_phi = FA.make_constrained_operator(A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
 
     free_pair = jnp.stack([free_cp, free_cm])      # (2, ndof)
     g_pair = jnp.stack([g_cp, g_cm])
 
     # ---- large-mesh block-RAS setup ---------------------------------------
-    ctx_ras = M_phi_ras = None
+    ctx_ras = ras_phi_pre = None
     if use_block_ras:
         from ..solvers import block_ras as BR
-        from ..solvers.krylov import bicgstab
         ctx_ras = BR.build_block_context_for_space(space, ras_block_size)
+
+    # ---- mid-size constant-Poisson f32-inverse tier -----------------------
+    # (dense_poisson_threshold < ndof <= poisson_inv_threshold): the
+    # Poisson operator never changes, so one device f32 inversion at setup
+    # turns every 1e-10 re-solve into an f64-residual refinement loop
+    # (contraction ~ kappa(A) * eps_f32 per pass) — ~5 MXU matvec rounds
+    # instead of ~30 latency-bound Krylov iterations per step on TPU.
+    solve_phi_inv = phi_inv = None
+    if use_block_ras and ndof <= poisson_inv_threshold:
+        # inverse setup is HOST-dispatched (solvers/direct.py): the r2
+        # lax.cond form compiled an ndof^2 XLA-LU fallback into the setup
+        # program and broke the tier with a vmem OOM at 11,839 dofs
+        # (VERDICT r2 item 1) — the Pallas inverse + probe now runs as its
+        # own program and failures fall back host-side. The inverse is
+        # threaded through every consumer as a RUNTIME ARGUMENT (never a
+        # jit closure constant): the remote-compile service ships closure
+        # constants in the compile request and a 560 MB inverse trips its
+        # body-size limit (HTTP 413).
+        from ..solvers.direct import (inv_f32_setup, inv_f32_setup_large,
+                                      make_inv_refine_solver_arg)
+        if ndof <= 16384:
+            @jax.jit  # one program: eager ops pay TPU compile round-trips
+            def _phi_dense32(A_el_):
+                return FA.dense_constrained_matrix(
+                    A_el_.astype(jnp.float32), vt_phi.dofmap, ndof,
+                    ctx_phi.free)
+
+            phi_inv = inv_f32_setup(_phi_dense32(A_phi_el)[None])
+        elif jax.default_backend() == "tpu":  # Pallas-only tier
+            # VERY-LARGE tier (to ~48k dofs; r3): the (ndof, ndof) f32
+            # inverse is ~8.7 GB at 46,653 dofs — only ONE such buffer
+            # fits next to the run state. XLA TPU COPIES donated scatter
+            # operands (measured: "Output shares 0B with arguments",
+            # 2 x 8.12 GB OOM), so the equilibrated matrix A_eq = S A S
+            # is assembled in ROW CHUNKS via donated dynamic_update_slice
+            # (which does alias reliably), at the 128-padded size Np so
+            # the Pallas GJ never re-pads the buffer (identity rows on
+            # the pad). The inverse stays padded+scaled; every apply
+            # pads/crops the small vectors (solvers/direct.py:
+            # scaled_inv_apply). Payoff: the 1e-10 Poisson re-solve drops
+            # from ~32 BiCGSTAB iterations (~6.0 s/step at 46k, the
+            # dominant cost of the r2 large-mesh step) to a handful of
+            # refinement matvecs.
+            f32 = jnp.float32
+            Np = ((ndof + 127) // 128) * 128
+            n_chunks = 8
+            while Np % n_chunks or (Np // n_chunks) % 8:
+                n_chunks -= 1          # exact partition, sublane-aligned
+            rows_c = Np // n_chunks
+
+            @jax.jit
+            def _phi_parts(A_el_):
+                d = FA.constrained_diagonal(A_el_, vt_phi.dofmap, ndof,
+                                            ctx_phi.free)
+                sc = jax.lax.rsqrt(jnp.maximum(jnp.abs(d), 1e-30)).astype(f32)
+                free32 = ctx_phi.free.astype(f32)
+                w_el = (free32 * sc)[vt_phi.dofmap]          # (E, n)
+                Am = (A_el_.astype(f32) * w_el[:, :, None]
+                      * w_el[:, None, :])
+                # diag bump: Dirichlet identity rows (sc = 1 there) and
+                # identity on the [ndof, Np) pad rows
+                bump = jnp.ones(Np, f32).at[:ndof].set(1.0 - free32)
+                s_pad = jnp.ones(Np, f32).at[:ndof].set(sc)
+                return Am, s_pad, bump
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def _phi_chunk(A_, Am_, bump_, r0):
+                # rows outside the chunk map to the (positive) OOB slot:
+                # a plain ``dofmap - r0`` would give NEGATIVE indices for
+                # earlier rows, which jax WRAPS python-style before the
+                # mode="drop" check — the bug that scattered every
+                # element one chunk below its true row
+                ir = jnp.where((vt_phi.dofmap >= r0)
+                               & (vt_phi.dofmap < r0 + rows_c),
+                               vt_phi.dofmap - r0, rows_c)
+                Ch = jnp.zeros((rows_c, Np), f32).at[
+                    ir[:, :, None], vt_phi.dofmap[:, None, :]].add(
+                        Am_, mode="drop")
+                ix = jnp.arange(rows_c)
+                db = jax.lax.dynamic_slice(bump_, (r0,), (rows_c,))
+                Ch = Ch.at[ix, r0 + ix].add(db, mode="drop")
+                z0 = jnp.int32(0)
+                old = jax.lax.dynamic_slice(A_, (z0, r0, z0),
+                                            (1, rows_c, Np))
+                return jax.lax.dynamic_update_slice(
+                    A_, old + Ch[None], (z0, r0, z0))
+
+            Am_phi, s_phi, bump_phi = _phi_parts(A_phi_el)
+            A_eq = jax.jit(lambda: jnp.zeros((1, Np, Np), f32))()
+            for c in range(n_chunks):
+                A_eq = _phi_chunk(A_eq, Am_phi, bump_phi,
+                                  jnp.int32(c * rows_c))
+            op_pb = FA.make_constrained_operator_batched(
+                A_phi_el[None].astype(jnp.float64), vt_phi.dofmap, ndof,
+                ctx_phi.free[None])
+            X_eq, ok = inv_f32_setup_large(A_eq, s_phi, op_pb, ndof)
+            del A_eq
+            if ok:
+                phi_inv = (X_eq, s_phi)
+        if phi_inv is not None:
+            solve_phi_inv = make_inv_refine_solver_arg(
+                A_phi_el[None].astype(jnp.float64),
+                vt_phi.dofmap, ndof, ctx_phi.free[None])
+
+    if use_block_ras and phi_inv is None:
+        # two-level RAS Poisson factors, built ONLY when the inverse tier
+        # did not engage (above threshold or probe failure): on a 16 GB
+        # chip the ~150 MB factors plus an 8.7 GB inverse would waste the
+        # headroom the very-large tier needs. Factors stay a runtime
+        # pytree (passed as arguments to every consumer program): at
+        # level-3 scale the (K, L, L) local inverses are ~0.5 GB, and
+        # closure constants of that size trip the remote compiler's
+        # request-body limit (HTTP 413).
+        from ..solvers import block_ras as BR
 
         @jax.jit  # one program: every eager op pays a TPU compile round-trip
         def _ras_phi_setup(A_el_):
@@ -285,30 +427,7 @@ def build_pnp_system(
                                     ctx_phi.free, space.dof_coords)
             return inv, p1
 
-        _inv_phi, _p1_phi = _ras_phi_setup(A_phi_el)
-        M_phi_ras = BR.make_two_level_precond(ctx_ras, _inv_phi, None,
-                                              op_phi, ctx_phi.free,
-                                              p1_coarse=_p1_phi)
-
-    # ---- mid-size constant-Poisson f32-inverse tier -----------------------
-    # (dense_poisson_threshold < ndof <= poisson_inv_threshold): the
-    # Poisson operator never changes, so one device f32 inversion at setup
-    # turns every 1e-10 re-solve into an f64-residual refinement loop
-    # (contraction ~ kappa(A) * eps_f32 per pass) — ~5 MXU matvec rounds
-    # instead of ~30 latency-bound Krylov iterations per step on TPU.
-    solve_phi_inv = None
-    if use_block_ras and ndof <= poisson_inv_threshold:
-        from ..solvers.direct import batched_inv_f32, make_inv_refine_solver
-
-        @jax.jit  # one program: every eager op pays a TPU compile round-trip
-        def _phi_inv_setup(A_el_):
-            A32 = FA.dense_constrained_matrix(
-                A_el_.astype(jnp.float32), vt_phi.dofmap, ndof, ctx_phi.free)
-            return batched_inv_f32(A32[None], prefer_pallas=True)
-
-        solve_phi_inv = make_inv_refine_solver(
-            _phi_inv_setup(A_phi_el), A_phi_el[None].astype(jnp.float64),
-            vt_phi.dofmap, ndof, ctx_phi.free[None])
+        ras_phi_pre = _ras_phi_setup(A_phi_el)
 
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
@@ -435,7 +554,7 @@ def build_pnp_system(
             return as_cache[j]
 
         solve_direct = A_stage = None
-        if use_dense_species and factor is not None:
+        if factor is not None:  # dense flagship OR mid-size tier inverse
             from ..solvers.direct import make_inv_refine_solver
             A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
             solve_direct = make_inv_refine_solver(
@@ -478,10 +597,20 @@ def build_pnp_system(
             if use_block_ras:
                 from ..solvers import block_ras as BR
                 from ..solvers.krylov import bicgstab
-                inv_s = ras_inv
+                inv_s, p1_s = ras_inv, None
+                if isinstance(ras_inv, tuple):
+                    inv_s, p1_s = ras_inv
                 if inv_s is None:  # non-uniform tableau diagonal
                     inv_s = BR.build_local_inverses(ctx_ras, A_el, free_pair)
-                M_s = BR.make_ras_precond(ctx_ras, inv_s, free_pair)
+                if p1_s is not None:
+                    # two-level: p1 coarse correction tames the 1/H
+                    # iteration growth of one-level RAS on the large
+                    # advective stage systems (built per factor refresh)
+                    M_s = BR.make_two_level_precond(ctx_ras, inv_s, None,
+                                                    op, free_pair,
+                                                    p1_coarse=p1_s)
+                else:
+                    M_s = BR.make_ras_precond(ctx_ras, inv_s, free_pair)
                 res = bicgstab(op, r, jnp.zeros_like(r), M_s,
                                stage_reduction, sys.linearSolverIterations)
                 levels.append(guess - res.x)
@@ -511,6 +640,10 @@ def build_pnp_system(
             from ..solvers import block_ras as BR
             A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
             ras_inv = BR.build_local_inverses(ctx_ras, A_stage, free_pair)
+            if species_two_level:
+                ras_inv = (ras_inv, BR.build_p1_coarse_batched(
+                    ctx_ras, A_stage, vt2.dofmap, free_pair,
+                    space.dof_coords))
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
                                            factor, ras_inv)
         return out[0], out[1], iters
@@ -531,7 +664,11 @@ def build_pnp_system(
         from ..solvers import block_ras as BR
         K_pair = _build_K_pair(uphi_)
         A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-        return BR.build_local_inverses(ctx_ras, A_stage, free_pair)
+        inv = BR.build_local_inverses(ctx_ras, A_stage, free_pair)
+        if species_two_level:
+            return (inv, BR.build_p1_coarse_batched(
+                ctx_ras, A_stage, vt2.dofmap, free_pair, space.dof_coords))
+        return inv
 
     def _species_step_reuse_ras(ras_inv, uphi_, ucp_, ucm_):
         K_pair = _build_K_pair(uphi_)
@@ -540,6 +677,26 @@ def build_pnp_system(
         return out[0], out[1], iters
 
     use_ras_factor = use_block_ras and _uniform_stage_diag
+    # mid-size species tier (r3): for block-RAS meshes up to ~12k dofs the
+    # batched (2, ndof, ndof) f32 stage inverses fit comfortably (1.1 GB at
+    # 11,839) and turn the 10-12-iteration BiCGSTAB stage solves into a
+    # handful of refinement matvecs. TPU-only (the inverse is a Pallas GJ
+    # with a host-dispatched contraction-probe verdict; probe failure on a
+    # late-transient advective batch falls back to the RAS factor for that
+    # refresh window — same guard philosophy as solvers/direct.py).
+    use_mid_species = (use_ras_factor and ndof <= species_inv_threshold
+                       and jax.default_backend() == "tpu")
+    _species_dense_probe_j = None
+    if use_mid_species:
+        from ..solvers.direct import _pallas_inv_probe
+
+        @jax.jit
+        def _species_dense_probe_j(uphi_):
+            K_pair = _build_K_pair(uphi_)
+            A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+            A32 = FA.dense_constrained_matrix_batched(
+                A_stage, vt2.dofmap, ndof, free_pair).astype(jnp.float32)
+            return _pallas_inv_probe(A32)
 
     def _poisson_residual(uphi_, ucp_, ucm_):
         ue = uphi_[vt_phi.dofmap]
@@ -548,82 +705,135 @@ def build_pnp_system(
         r = FA.scatter_add(r_el, vt_phi.dofmap, ndof) + ctx_phi.flux_vector
         return ctx_phi.constrain(r)
 
-    def _poisson_solve(uphi_, ucp_, ucm_):
+    def _poisson_solve(uphi_, ucp_, ucm_, phi_pre_=None):
         """SLP apply at tolerance 1e-10 (reference :349-350).
 
-        Dense path: the exact affine form phi* = q + P (cm - cp) — one
-        matvec, no residual assembly, no solver loop (see setup above).
-        Large-mesh path: BiCGSTAB + two-level block-RAS (constant
-        operator — local/coarse factors from setup)."""
-        if P_phi is not None:
-            return q_phi + P_phi @ (ucm_ - ucp_), jnp.int32(1)
+        ``phi_pre_`` carries the Poisson setup state as a RUNTIME
+        ARGUMENT pytree — never a closure constant (the remote compiler
+        ships closure constants in the compile request; a 560 MB inverse
+        or level-3 RAS factor set trips its body-size limit, HTTP 413):
+        dense path (P, q) of the exact affine form phi* = q + P (cm-cp);
+        mid-size tier the f32 Poisson inverse for f64-residual
+        refinement; large-mesh path the (local inverses, p1 coarse)
+        two-level block-RAS factors."""
+        if dense_phi_pre is not None:
+            P_phi_, q_phi_ = phi_pre_
+            return q_phi_ + P_phi_ @ (ucm_ - ucp_), jnp.int32(1)
         r = _poisson_residual(uphi_, ucp_, ucm_)
         if solve_phi_inv is not None:
-            x, k = solve_phi_inv(r[None], 1e-10)
+            x, k = solve_phi_inv(phi_pre_, r[None], 1e-10)
             return uphi_ - x[0], k
-        if M_phi_ras is not None:
+        if ras_phi_pre is not None:
+            from ..solvers import block_ras as BR
             from ..solvers.krylov import bicgstab
+            inv_p, p1_p = phi_pre_
+            M_ras = BR.make_two_level_precond(ctx_ras, inv_p, None, op_phi,
+                                              ctx_phi.free, p1_coarse=p1_p)
             if mixed_precision:
                 # two f32-operator passes at 1e-5 with an exact f64
                 # residual between them reach the 1e-10 target (classic
                 # mixed-precision iterative refinement)
                 op_mx = FA.make_constrained_operator_mixed(
                     A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
-                r1 = bicgstab(op_mx, r, jnp.zeros_like(r), M_phi_ras, 1e-5,
+                r1 = bicgstab(op_mx, r, jnp.zeros_like(r), M_ras, 1e-5,
                               sys.linearSolverIterations)
                 r_exact = ctx_phi.constrain(r - op_phi(r1.x))
-                r2 = bicgstab(op_mx, r_exact, jnp.zeros_like(r), M_phi_ras,
+                r2 = bicgstab(op_mx, r_exact, jnp.zeros_like(r), M_ras,
                               1e-5, sys.linearSolverIterations)
                 return (uphi_ - (r1.x + r2.x),
                         r1.iterations + r2.iterations)
-            res = bicgstab(op_phi, r, jnp.zeros_like(r), M_phi_ras, 1e-10,
+            res = bicgstab(op_phi, r, jnp.zeros_like(r), M_ras, 1e-10,
                            sys.linearSolverIterations)
             return uphi_ - res.x, res.iterations
         res = krylov_phi(op_phi, r, jnp.zeros_like(r), diag_phi, 1e-10,
                          lam=lam_phi, A_el=A_phi_el)
         return uphi_ - res.x, res.iterations
 
-    def _fused_step(uphi_, ucp_, ucm_):
+    def _fused_step(uphi_, ucp_, ucm_, phi_pre_=None):
         ucp_, ucm_, _ = _species_step(uphi_, ucp_, ucm_)
-        uphi_, _ = _poisson_solve(uphi_, ucp_, ucm_)
+        uphi_, _ = _poisson_solve(uphi_, ucp_, ucm_, phi_pre_)
         return uphi_, ucp_, ucm_
 
     @functools.partial(jax.jit, static_argnums=1)
-    def scan_steps(state, n_steps: int):
+    def _scan_steps_j(state, n_steps: int, phi_pre_=None):
         """n_steps fused steps as one lax.scan (potentialUpdateFreq == 1)."""
 
         def body(carry, _):
-            return _fused_step(*carry), None
+            return _fused_step(*carry, phi_pre_), None
 
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
-    _step_reuse = (_species_step_reuse if use_dense_species else
-                   _species_step_reuse_ras if use_ras_factor else None)
+    # public wrappers keep the (uphi, ucp, ucm) signatures and pass the
+    # (possibly None) Poisson setup pytree as a runtime argument each call
+    phi_pre = (dense_phi_pre if dense_phi_pre is not None else
+               phi_inv if phi_inv is not None else ras_phi_pre)
+    _ps_j = jax.jit(_poisson_solve)
+    _fs_j = jax.jit(_fused_step)
 
-    def _fused_step_reuse(factor, uphi_, ucp_, ucm_):
-        ucp2, ucm2, _ = _step_reuse(factor, uphi_, ucp_, ucm_)
-        uphi2, _ = _poisson_solve(uphi_, ucp2, ucm2)
-        return uphi2, ucp2, ucm2
+    def _make_fused_reuse(step_fn):
+        def f(factor, uphi_, ucp_, ucm_, phi_pre_=None):
+            ucp2, ucm2, _ = step_fn(factor, uphi_, ucp_, ucm_)
+            uphi2, _ = _poisson_solve(uphi_, ucp2, ucm2, phi_pre_)
+            return uphi2, ucp2, ucm2
+        return f
+
+    _factor_pub = _ssr_pub = _fsr_pub = _factor_kind = None
+    if use_dense_species:
+        _factor_pub = jax.jit(_species_factor)
+        _ssr_pub = jax.jit(_species_step_reuse)
+        _fsr_d = jax.jit(_make_fused_reuse(_species_step_reuse))
+        _fsr_pub = lambda f, u, cp, cm: _fsr_d(f, u, cp, cm, phi_pre)
+        _factor_kind = "dense"
+    elif use_mid_species:
+        # host-dispatched factor kind: every refresh runs the Pallas
+        # inverse + probe as one program, fetches the scalar verdict, and
+        # on failure builds the RAS factor instead; the reuse steps then
+        # dispatch to the matching jitted program by the static tag
+        _far_j = jax.jit(_species_factor_ras)
+        _ssr_inv_j = jax.jit(_species_step_reuse)
+        _ssr_ras_j = jax.jit(_species_step_reuse_ras)
+        _fsr_inv_j = jax.jit(_make_fused_reuse(_species_step_reuse))
+        _fsr_ras_j = jax.jit(_make_fused_reuse(_species_step_reuse_ras))
+
+        def _factor_pub(uphi_):
+            X, ok = _species_dense_probe_j(uphi_)
+            if bool(ok):
+                return ("inv", X)
+            return ("ras", _far_j(uphi_))
+
+        def _ssr_pub(factor, uphi_, ucp_, ucm_):
+            kind, val = factor
+            return (_ssr_inv_j if kind == "inv" else _ssr_ras_j)(
+                val, uphi_, ucp_, ucm_)
+
+        def _fsr_pub(factor, u, cp, cm):
+            kind, val = factor
+            return (_fsr_inv_j if kind == "inv" else _fsr_ras_j)(
+                val, u, cp, cm, phi_pre)
+
+        _factor_kind = "ras"
+    elif use_ras_factor:
+        _factor_pub = jax.jit(_species_factor_ras)
+        _ssr_pub = jax.jit(_species_step_reuse_ras)
+        _fsr_r = jax.jit(_make_fused_reuse(_species_step_reuse_ras))
+        _fsr_pub = lambda f, u, cp, cm: _fsr_r(f, u, cp, cm, phi_pre)
+        _factor_kind = "ras"
 
     return PnpSystem(
         sys=sys, space=space, pb=pb, pb_newton_iterations=pb_iters,
         uphi0=uphi0, ucp0=ucp0, ucm0=ucm0,
         species_step=jax.jit(_species_step),
-        poisson_solve=jax.jit(_poisson_solve),
-        fused_step=jax.jit(_fused_step),
-        scan_steps=scan_steps,
+        poisson_solve=lambda u, cp, cm: _ps_j(u, cp, cm, phi_pre),
+        fused_step=lambda u, cp, cm: _fs_j(u, cp, cm, phi_pre),
+        scan_steps=lambda state, n: _scan_steps_j(state, n, phi_pre),
         ionflux_tables=build_ionflux_tables(space, sys.cylindrical, pi,
                                             sys.n_surfaces),
         dt=dt,
-        species_factor=(jax.jit(_species_factor) if use_dense_species else
-                        jax.jit(_species_factor_ras) if use_ras_factor
-                        else None),
-        species_step_reuse=(jax.jit(_step_reuse) if _step_reuse else None),
-        factor_kind=("dense" if use_dense_species else
-                     "ras" if use_ras_factor else None),
-        fused_step_reuse=(jax.jit(_fused_step_reuse) if _step_reuse
-                          else None))
+        species_factor=_factor_pub,
+        species_step_reuse=_ssr_pub,
+        factor_kind=_factor_kind,
+        fused_step_reuse=_fsr_pub)
 
 
 @dataclasses.dataclass
@@ -653,9 +863,9 @@ def run_instationary_pnp_from_pb(
     stage_reduction: float = 1e-5,
     dense_poisson_threshold: int = 8192,
     ras_block_size: int = 256,
-    ras_refresh_every: int = 1,
-    mixed_precision: bool = False,
-    poisson_inv_threshold: int = 16384,
+    ras_refresh_every: Optional[int] = None,
+    mixed_precision: Optional[bool] = None,
+    poisson_inv_threshold: int = 49152,
 ) -> PnpRunResult:
     """Run phases A-D. ``presolve_potential`` is a deviation switch: the
     reference's first species step sees the raw Dirichlet bias jump
@@ -669,6 +879,13 @@ def run_instationary_pnp_from_pb(
                               ras_block_size=ras_block_size,
                               mixed_precision=mixed_precision,
                               poisson_inv_threshold=poisson_inv_threshold)
+    if ras_refresh_every is None:
+        # large-mesh default (r3): amortize the stage factorization over 4
+        # steps — stale factors only raise solver iteration counts (stage
+        # solves stay 1e-5-residual-exact), measured ~20% step-time saving
+        # at 46k nodes; the dense flagship path keeps per-step factors
+        # (LU-reuse measured 10x slower there, CLAUDE.md r1)
+        ras_refresh_every = 4 if system.factor_kind == "ras" else 1
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
     dt = system.dt
     if presolve_potential:

@@ -223,7 +223,8 @@ def test_ras_factor_reuse_trajectory(ref_test_dir):
     space = FunctionSpace(mesh, 1)
     base = run_instationary_pnp_from_pb(
         cfg, space, n_steps=4, dense_poisson_threshold=0,
-        poisson_inv_threshold=0, presolve_potential=True)
+        poisson_inv_threshold=0, presolve_potential=True,
+        ras_refresh_every=1)   # fresh factors (the driver default is now 4)
     reuse = run_instationary_pnp_from_pb(
         cfg, space, n_steps=4, dense_poisson_threshold=0,
         poisson_inv_threshold=0, presolve_potential=True,
@@ -255,3 +256,38 @@ def test_poisson_inv_tier_matches_exact(ref_test_dir):
     scale = float(jnp.max(jnp.abs(phi_d))) + 1.0
     assert float(jnp.max(jnp.abs(phi_d - phi_t))) / scale < 1e-8
     assert int(its) < 40, "refinement saturating"
+
+
+def test_species_two_level_parity(ref_test_dir):
+    """Two-level species RAS (batched p1 coarse, species_two_level): the
+    stage solves stay 1e-5-exact, so the step output must match the
+    one-level path within stage-tolerance slack; iteration counts must
+    not blow up (the real 1/H win is measured on TPU at 46k nodes —
+    tools/tpu_scaled_e2e.py)."""
+    from pnp_tpu.config import read_config
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    cfg.linearSolverIterations = 3000
+    space = FunctionSpace(read_gmsh(cfg.meshfile), 1)
+    sys_1 = build_pnp_system(cfg, space, dense_poisson_threshold=0,
+                             poisson_inv_threshold=0,
+                             species_two_level=False)
+    sys_2 = build_pnp_system(cfg, space, dense_poisson_threshold=0,
+                             poisson_inv_threshold=0, pb_field=sys_1.pb,
+                             species_two_level=True)
+    s = (sys_1.uphi0, sys_1.ucp0, sys_1.ucm0)
+    uphi, _ = sys_1.poisson_solve(*s)
+    cp1, cm1, it1 = sys_1.species_step(uphi, s[1], s[2])
+    cp2, cm2, it2 = sys_2.species_step(uphi, s[1], s[2])
+    for a, b in ((cp1, cp2), (cm1, cm2)):
+        assert bool(jnp.isfinite(b).all())
+        scale = float(jnp.max(jnp.abs(a))) + 1.0
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+    assert int(it2) <= int(it1) * 2, (int(it1), int(it2))
+    # the reuse path carries the (inv, p1) tuple factor end-to-end
+    f = sys_2.species_factor(uphi)
+    cp3, cm3, it3 = sys_2.species_step_reuse(f, uphi, s[1], s[2])
+    scale = float(jnp.max(jnp.abs(cp2))) + 1.0
+    assert float(jnp.max(jnp.abs(cp3 - cp2))) / scale < 1e-4

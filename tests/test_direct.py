@@ -66,3 +66,104 @@ def test_dense_matrix_matches_operator(advective_pair):
     y_dense = jnp.einsum("sij,sj->si", A_dense, x)
     np.testing.assert_allclose(np.asarray(y_dense), np.asarray(op(x)),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_scaled_inverse_refine_solver():
+    """The very-large-N tier never unscales its inverse: the (X_eq, s)
+    pair (X_eq = inv(S A S)) threaded through make_inv_refine_solver_arg
+    must solve to the same answer as the plain inverse (solvers/direct.py:
+    scaled_inv_apply)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pnp_tpu.fem import assembly as FA
+    from pnp_tpu.fem.geometry import build_volume_tables
+    from pnp_tpu.fem.space import FunctionSpace
+    from pnp_tpu.meshio.structured import rect_mesh
+    from pnp_tpu.operators import volume as V
+    from pnp_tpu.solvers.direct import make_inv_refine_solver_arg
+
+    mesh = rect_mesh(12, 12, 1.0, 1.0)
+    space = FunctionSpace(mesh, 1)
+    vt = build_volume_tables(space, 2)
+    A_el = V.laplace_jacobian_el(vt) + 0.3 * V.mass_jacobian_el(
+        vt, 1.0, False, np.pi)
+    onb = np.zeros(space.ndof, bool)
+    onb[np.unique(mesh.edges)] = True
+    free = jnp.asarray(~onb)
+    ndof = space.ndof
+    A = np.asarray(FA.dense_constrained_matrix(A_el, vt.dofmap, ndof, free))
+    s = 1.0 / np.sqrt(np.abs(np.diag(A)))
+    X_eq = np.linalg.inv(s[:, None] * A * s[None, :]).astype(np.float32)
+    X_plain = np.linalg.inv(A).astype(np.float32)
+
+    solve = make_inv_refine_solver_arg(A_el[None].astype(jnp.float64),
+                                       vt.dofmap, ndof, free[None])
+    r = jnp.where(free, jnp.ones(ndof), 0.0)[None]
+    x_p, k_p = solve(jnp.asarray(X_plain)[None], r, 1e-12)
+    x_s, k_s = solve((jnp.asarray(X_eq)[None],
+                      jnp.asarray(s, jnp.float32)), r, 1e-12)
+    want = np.linalg.solve(A, np.asarray(r[0]))
+    np.testing.assert_allclose(np.asarray(x_p[0]), want, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x_s[0]), want, atol=1e-10)
+    assert int(k_s) <= int(k_p) + 2
+
+
+def test_chunked_equilibrated_assembly_matches_dense(ref_test_dir):
+    """The very-large tier assembles S A S in row chunks via donated
+    dynamic_update_slice (workloads/instationary_pnp_from_pb.py). Pin the
+    chunk math against the one-shot dense assembly — including the
+    negative-scatter-index WRAP gotcha (jax wraps python-style BEFORE the
+    mode='drop' check; unmasked ``dofmap - r0`` scattered every element
+    one chunk below its true row)."""
+    import functools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pnp_tpu.config import read_config
+    from pnp_tpu.fem import assembly as FA
+    from pnp_tpu.fem.space import FunctionSpace
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.operators import volume as V
+    from pnp_tpu.workloads.common import make_scalar_context
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    space = FunctionSpace(read_gmsh(cfg.meshfile), 1)
+    ndof = space.ndof
+    ctx_phi = make_scalar_context(cfg, space, component=0, quad_order=3)
+    vt_phi = ctx_phi.vt
+    A_el = V.poisson_jacobian_el(vt_phi, cfg.cylindrical, cfg.pi)
+    f32 = jnp.float32
+    Np = ((ndof + 127) // 128) * 128
+    rows_c = Np // 8
+    d = FA.constrained_diagonal(A_el, vt_phi.dofmap, ndof, ctx_phi.free)
+    sc = jax.lax.rsqrt(jnp.maximum(jnp.abs(d), 1e-30)).astype(f32)
+    free32 = ctx_phi.free.astype(f32)
+    w_el = (free32 * sc)[vt_phi.dofmap]
+    Am = A_el.astype(f32) * w_el[:, :, None] * w_el[:, None, :]
+    bump = jnp.ones(Np, f32).at[:ndof].set(1.0 - free32)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def chunk(A_, Am_, bump_, r0):
+        ir = jnp.where((vt_phi.dofmap >= r0)
+                       & (vt_phi.dofmap < r0 + rows_c),
+                       vt_phi.dofmap - r0, rows_c)
+        Ch = jnp.zeros((rows_c, Np), f32).at[
+            ir[:, :, None], vt_phi.dofmap[:, None, :]].add(Am_, mode="drop")
+        ix = jnp.arange(rows_c)
+        db = jax.lax.dynamic_slice(bump_, (r0,), (rows_c,))
+        Ch = Ch.at[ix, r0 + ix].add(db, mode="drop")
+        z0 = jnp.int32(0)
+        old = jax.lax.dynamic_slice(A_, (z0, r0, z0), (1, rows_c, Np))
+        return jax.lax.dynamic_update_slice(A_, old + Ch[None], (z0, r0, z0))
+
+    A_eq = jnp.zeros((1, Np, Np), f32)
+    for c in range(8):
+        A_eq = chunk(A_eq, Am, bump, jnp.int32(c * rows_c))
+    got = np.asarray(A_eq[0], np.float64)
+    A_ref = np.asarray(FA.dense_constrained_matrix(A_el, vt_phi.dofmap,
+                                                   ndof, ctx_phi.free))
+    s_np = np.asarray(sc, np.float64)
+    ref = np.zeros((Np, Np))
+    ref[:ndof, :ndof] = s_np[:, None] * A_ref * s_np[None, :]
+    ref[range(ndof, Np), range(ndof, Np)] = 1.0
+    assert np.abs(got - ref).max() < 1e-5
