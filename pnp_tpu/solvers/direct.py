@@ -38,22 +38,24 @@ def batched_lu_factor_f32(A_dense: Array):
 
 
 def use_pallas_inverse() -> bool:
-    """Pallas blocked Gauss-Jordan on TPU (opt-in: PNP_TPU_PALLAS_INV=1).
+    """Pallas blocked Gauss-Jordan for the FLAGSHIP dense stage inverses
+    (opt-in: PNP_TPU_PALLAS_INV=1) — **DECLINED as a default by the r3
+    e2e gate** (tools/results_tpu_pallas_e2e_r3.log): on the 120-step
+    pore transient the XLA-inverse path stays finite (51.7 ms fused
+    step) while the Pallas path went NON-FINITE by step 11 even with
+    in-block partial pivoting, equilibration, and the contraction-probe
+    guard (the probe's smooth test vector passes matrices whose
+    refinement still diverges on rough residuals — cross-block pivot
+    growth on the advective stage matrices, cf. tools/gj_pivot_study.py).
 
-    Hardware status (jax 0.9.0 Mosaic): compiles, correct to ~1.5e-6 on
-    synthetic batches at (2, 3072)/(94, 512) and faster than XLA
-    getrf+getri (41.8 -> 18.3 ms at the RAS-factor shape). The r2 no-pivot
-    version went non-finite on late-transient advective stage matrices;
-    the kernel now does IN-BLOCK PARTIAL PIVOTING and every production
-    call runs behind the contraction-probe-guarded fallback in
-    :func:`batched_inv_f32`, so a quality loss degrades to the XLA inverse
-    instead of a non-finite step. The numpy simulation on dumped pore
-    matrices (tools/gj_pivot_study.py + contraction analysis) shows the
-    blocked elimination still DIVERGES intermittently on late-transient
-    matrices (cross-block pivot growth: refinement contraction 118 at
-    step 10 vs LAPACK's 1e-4) — so with the guard the flagship dense path
-    pays Pallas + XLA inversions on those steps. Stays opt-in unless the
-    TPU e2e gate (tools/tpu_pallas_e2e.py) measures a net step-time win.
+    Where the kernel IS the hardware-proven default (r3 production runs):
+      * the small-block RAS local factorizations
+        (solvers/block_ras.py / schwarz.py, prefer_pallas=True) — 2-4
+        panel blocks per matrix, probed + cond-guarded; and
+      * the very-large equilibrated CONSTANT-Poisson inverse
+        (inv_f32_setup_large) — SPD, 365 panel blocks, contraction
+        3e-9 per 2 passes at 46,653 dofs.
+    The failure mode is specific to LARGE ADVECTIVE dense matrices.
     """
     import os
     return (os.environ.get("PNP_TPU_PALLAS_INV") == "1"

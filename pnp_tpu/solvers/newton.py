@@ -133,9 +133,25 @@ def newton_solve(
 
 
 def _make_line_search(residual_fn, params: NewtonParams):
-    """Hackbusch-Reusken accept-best backtracking as a jitted while_loop."""
+    """Hackbusch-Reusken accept-best backtracking as a jitted while_loop.
+
+    ``line_search_max == 0`` disables the search (plain Newton step,
+    defect still monitored by the outer loop): besides being a standard
+    variant, at very large meshes (~370k elements) XLA's remat of the
+    backtracking while_loop compresses the element-table activations
+    into a catastrophically padded bf16 copy (42x expansion, compile-time
+    HBM OOM at level-3 pore) — the loop-free path sidesteps it.
+    """
     damping = params.line_search_damping
     max_it = params.line_search_max
+    if max_it == 0:
+        @jax.jit
+        def plain_step(u, z, defect):
+            u_new = u - z
+            r_new = residual_fn(u_new)
+            return u_new, r_new, _defect(r_new)
+
+        return plain_step
 
     @jax.jit
     def line_search(u, z, defect):

@@ -66,15 +66,25 @@ def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
         ctx_ras = BR.build_block_context_for_space(ctx.space, ras_block_size)
 
     @jax.jit
-    def assemble(u):
+    def _jac(u):
         ue = u[ctx.dofmap]
-        A_el = V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical,
+        return V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical,
                                 sys.pi)
+
+    @jax.jit
+    def _factor(A_el):
         if ctx_ras is not None:
             from ..solvers import block_ras as BR
-            return A_el, BR.build_local_inverses(ctx_ras, A_el, ctx.free)
-        return A_el, A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof,
-                                            ctx.free)
+            return BR.build_local_inverses(ctx_ras, A_el, ctx.free)
+        return A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
+
+    def assemble(u):
+        # TWO programs on purpose: fusing Jacobian build + RAS
+        # factorization into one made XLA remat-compress the element
+        # tables into a catastrophically lane-padded bf16 copy (42x,
+        # compile-time HBM OOM at the 185k-node level-3 pore)
+        A_el = _jac(u)
+        return A_el, _factor(A_el)
 
     @jax.jit
     def solve(jac_ctx, r, reduction):
