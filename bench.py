@@ -127,20 +127,27 @@ def run_scaled(levels: int, n_meas: int = 4, refresh: int = 4):
            "dofs_per_s": round(3 * space.ndof * n_meas / elapsed, 2),
            "step_ms": round(elapsed / n_meas * 1e3, 1),
            "ras_refresh_every": refresh}
-    # per-phase breakdown (each as its own program, dependency-chained)
+    # per-phase breakdown (each as its own program, dependency-chained).
+    # EVERY phase program is warmed once before its timed call: the r3
+    # bench only ever warmed fused_step_reuse, so the timed
+    # species_step_reuse call included its full remote compile and the
+    # committed species_ms was ~150x the warm cost (VERDICT r3 item 3).
     try:
         factor = system.species_factor(uphi)
-        jax.block_until_ready(factor)
+        ucp2, ucm2, sp_it = system.species_step_reuse(factor, uphi, ucp, ucm)
+        uphi2, po_it = system.poisson_solve(uphi, ucp2, ucm2)
+        jax.block_until_ready(uphi2)                    # warm all programs
         t0 = time.perf_counter()
-        factor = system.species_factor(uphi)
+        factor = system.species_factor(uphi2)           # depends on warmup
         jax.block_until_ready(factor)
         fa_ms = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
-        ucp2, ucm2, sp_it = system.species_step_reuse(factor, uphi, ucp, ucm)
+        ucp2, ucm2, sp_it = system.species_step_reuse(factor, uphi2, ucp2,
+                                                      ucm2)
         jax.block_until_ready(ucp2)
         sp_ms = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
-        uphi2, po_it = system.poisson_solve(uphi, ucp2, ucm2)
+        uphi2, po_it = system.poisson_solve(uphi2, ucp2, ucm2)
         jax.block_until_ready(uphi2)
         po_ms = (time.perf_counter() - t0) * 1e3
         out["phases"] = {

@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..fem.geometry import VolumeTables
-from .common import qfactor, interp, interp_grad
+from .common import qfactor, interp, interp_grad, map_table_chunks
 from .volume import stiffness_matrix, mass_matrix
 
 
@@ -47,6 +47,11 @@ def split_el(ue):
 
 
 def pnp_residual_el(ue, t: VolumeTables, l_b, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc, u: _pnp_residual(u, tc, l_b, cylindrical, pi), t, (ue,))
+
+
+def _pnp_residual(ue, t: VolumeTables, l_b, cylindrical, pi):
     phie, cpe, cme = split_el(ue)
     f = qfactor(t, cylindrical, pi)
     cp = interp(cpe, t.shape)
@@ -68,6 +73,11 @@ def pnp_residual_el(ue, t: VolumeTables, l_b, cylindrical, pi):
 
 
 def pnp_jacobian_el(ue, t: VolumeTables, l_b, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc, u: _pnp_jacobian(u, tc, l_b, cylindrical, pi), t, (ue,))
+
+
+def _pnp_jacobian(ue, t: VolumeTables, l_b, cylindrical, pi):
     phie, cpe, cme = split_el(ue)
     f = qfactor(t, cylindrical, pi)
     cp = interp(cpe, t.shape)
@@ -93,6 +103,12 @@ def pnp_jacobian_el(ue, t: VolumeTables, l_b, cylindrical, pi):
 
 
 def pnp_mass_residual_el(ue, t: VolumeTables, tau, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc, u: _pnp_mass_residual(u, tc, tau, cylindrical, pi),
+        t, (ue,))
+
+
+def _pnp_mass_residual(ue, t: VolumeTables, tau, cylindrical, pi):
     _, cpe, cme = split_el(ue)
     f = qfactor(t, cylindrical, pi)
     cp = interp(cpe, t.shape)
@@ -103,6 +119,11 @@ def pnp_mass_residual_el(ue, t: VolumeTables, tau, cylindrical, pi):
 
 
 def pnp_mass_jacobian_el(t: VolumeTables, tau, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc: _pnp_mass_jacobian(tc, tau, cylindrical, pi), t)
+
+
+def _pnp_mass_jacobian(t: VolumeTables, tau, cylindrical, pi):
     M = mass_matrix(t, qfactor(t, cylindrical, pi)) * tau
     Z = jnp.zeros_like(M)
     row_phi = jnp.concatenate([Z, Z, Z], axis=2)

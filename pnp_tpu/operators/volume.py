@@ -8,6 +8,13 @@ in tests/test_operators.py.
 
 Weak forms (reference file:line cited per kernel); all integrals carry the
 quadrature factor from :func:`..operators.common.qfactor`.
+
+Every public kernel dispatches through
+:func:`..operators.common.map_table_chunks`: above the element-chunk size
+the contraction runs as a lax.map over element chunks, bounding the
+lane-padded XLA temps that OOM'd the 367k-element level-3 compile
+(VERDICT r3 item 1). Below it (the flagship / mid-size meshes) the
+dispatch is a direct call and programs are unchanged.
 """
 
 from __future__ import annotations
@@ -15,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..fem.geometry import VolumeTables
-from .common import qfactor, interp, interp_grad
+from .common import qfactor, interp, interp_grad, map_table_chunks
 
 
 def stiffness_matrix(t: VolumeTables, f):
@@ -31,7 +38,7 @@ def mass_matrix(t: VolumeTables, f):
 # --- Poisson-Boltzmann:  grad u . grad v + 8 pi l_b c0 sinh(u) v -----------
 # (reference: src/pb_operator.hh:117)
 
-def pb_residual_el(ue, t: VolumeTables, l_b, c0, cylindrical, pi):
+def _pb_residual(t: VolumeTables, ue, l_b, c0, cylindrical, pi):
     f = qfactor(t, cylindrical, pi)
     u = interp(ue, t.shape)
     gu = interp_grad(ue, t.gradphi)
@@ -41,7 +48,13 @@ def pb_residual_el(ue, t: VolumeTables, l_b, c0, cylindrical, pi):
     return r
 
 
-def pb_jacobian_el(ue, t: VolumeTables, l_b, c0, cylindrical, pi):
+def pb_residual_el(ue, t: VolumeTables, l_b, c0, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc, ue_c: _pb_residual(tc, ue_c, l_b, c0, cylindrical, pi),
+        t, (ue,))
+
+
+def _pb_jacobian(t: VolumeTables, ue, l_b, c0, cylindrical, pi):
     f = qfactor(t, cylindrical, pi)
     u = interp(ue, t.shape)
     coef = 8.0 * pi * l_b * c0
@@ -50,10 +63,16 @@ def pb_jacobian_el(ue, t: VolumeTables, l_b, c0, cylindrical, pi):
     return A
 
 
+def pb_jacobian_el(ue, t: VolumeTables, l_b, c0, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc, ue_c: _pb_jacobian(tc, ue_c, l_b, c0, cylindrical, pi),
+        t, (ue,))
+
+
 # --- decoupled Poisson:  grad u . grad v + 4 pi l_b (cm - cp) v ------------
 # (reference: src/poisson_operator.hh:121-123; cp/cm are frozen fields)
 
-def poisson_residual_el(ue, cpe, cme, t: VolumeTables, l_b, cylindrical, pi):
+def _poisson_residual(t: VolumeTables, ue, cpe, cme, l_b, cylindrical, pi):
     f = qfactor(t, cylindrical, pi)
     gu = interp_grad(ue, t.gradphi)
     cp = interp(cpe, t.shape)
@@ -63,20 +82,31 @@ def poisson_residual_el(ue, cpe, cme, t: VolumeTables, l_b, cylindrical, pi):
     return r
 
 
+def poisson_residual_el(ue, cpe, cme, t: VolumeTables, l_b, cylindrical, pi):
+    return map_table_chunks(
+        lambda tc, u, cp, cm: _poisson_residual(tc, u, cp, cm, l_b,
+                                                cylindrical, pi),
+        t, (ue, cpe, cme))
+
+
 def poisson_jacobian_el(t: VolumeTables, cylindrical, pi):
-    return stiffness_matrix(t, qfactor(t, cylindrical, pi))
+    return map_table_chunks(
+        lambda tc: stiffness_matrix(tc, qfactor(tc, cylindrical, pi)), t)
 
 
 # --- linear diffusion (Laplace, a = F = 0):  grad u . grad v ---------------
 # (reference: src/diff_operator.hh:95-101; no axisymmetric factor there)
 
 def laplace_residual_el(ue, t: VolumeTables):
-    gu = interp_grad(ue, t.gradphi)
-    return jnp.einsum("eqd,eqid,eq->ei", gu, t.gradphi, t.qw)
+    def body(tc, ue_c):
+        gu = interp_grad(ue_c, tc.gradphi)
+        return jnp.einsum("eqd,eqid,eq->ei", gu, tc.gradphi, tc.qw)
+
+    return map_table_chunks(body, t, (ue,))
 
 
 def laplace_jacobian_el(t: VolumeTables):
-    return stiffness_matrix(t, t.qw)
+    return map_table_chunks(lambda tc: stiffness_matrix(tc, tc.qw), t)
 
 
 # --- species drift-diffusion:  grad c . grad v + z c (grad phi . grad v) ---
@@ -84,10 +114,8 @@ def laplace_jacobian_el(t: VolumeTables):
 #  reference does NOT apply the axisymmetric factor in this operator even in
 #  cylindrical runs — we reproduce that, the flag is the caller's choice)
 
-def drift_diffusion_residual_el(ce, gphi, t: VolumeTables, valency,
-                                cylindrical=False, pi=jnp.pi):
-    """``gphi`` is grad(phi) at quad points (E, nq, 2), from the frozen
-    potential's dof vector via :func:`interp_grad`."""
+def _drift_diffusion_residual(t: VolumeTables, ce, gphi, valency,
+                              cylindrical, pi):
     f = qfactor(t, cylindrical, pi)
     c = interp(ce, t.shape)
     gc = interp_grad(ce, t.gradphi)
@@ -96,12 +124,30 @@ def drift_diffusion_residual_el(ce, gphi, t: VolumeTables, valency,
     return r
 
 
-def drift_diffusion_jacobian_el(gphi, t: VolumeTables, valency,
+def drift_diffusion_residual_el(ce, gphi, t: VolumeTables, valency,
                                 cylindrical=False, pi=jnp.pi):
+    """``gphi`` is grad(phi) at quad points (E, nq, 2), from the frozen
+    potential's dof vector via :func:`interp_grad`."""
+    return map_table_chunks(
+        lambda tc, c, g: _drift_diffusion_residual(tc, c, g, valency,
+                                                   cylindrical, pi),
+        t, (ce, gphi))
+
+
+def _drift_diffusion_jacobian(t: VolumeTables, gphi, valency, cylindrical, pi):
     f = qfactor(t, cylindrical, pi)
     A = stiffness_matrix(t, f)
-    A += valency * jnp.einsum("eq,eqd,eqid,qj->eij", f, gphi, t.gradphi, t.shape)
+    A += valency * jnp.einsum("eq,eqd,eqid,qj->eij", f, gphi, t.gradphi,
+                              t.shape)
     return A
+
+
+def drift_diffusion_jacobian_el(gphi, t: VolumeTables, valency,
+                                cylindrical=False, pi=jnp.pi):
+    return map_table_chunks(
+        lambda tc, g: _drift_diffusion_jacobian(tc, g, valency, cylindrical,
+                                                pi),
+        t, (gphi,))
 
 
 # --- scalar L2 mass:  c v ---------------------------------------------------
@@ -111,10 +157,14 @@ def drift_diffusion_jacobian_el(gphi, t: VolumeTables, valency,
 #  accumulation bug deliberately NOT replicated, see SURVEY.md quirks)
 
 def mass_residual_el(ce, t: VolumeTables, scale=1.0, cylindrical=False, pi=jnp.pi):
-    f = qfactor(t, cylindrical, pi) * scale
-    c = interp(ce, t.shape)
-    return jnp.einsum("eq,qi,eq->ei", c, t.shape, f)
+    def body(tc, c_el):
+        f = qfactor(tc, cylindrical, pi) * scale
+        c = interp(c_el, tc.shape)
+        return jnp.einsum("eq,qi,eq->ei", c, tc.shape, f)
+
+    return map_table_chunks(body, t, (ce,))
 
 
 def mass_jacobian_el(t: VolumeTables, scale=1.0, cylindrical=False, pi=jnp.pi):
-    return mass_matrix(t, qfactor(t, cylindrical, pi) * scale)
+    return map_table_chunks(
+        lambda tc: mass_matrix(tc, qfactor(tc, cylindrical, pi) * scale), t)

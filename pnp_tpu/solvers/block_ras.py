@@ -379,6 +379,12 @@ def make_p1_coarse_correction(ctx: BlockContext, p1_coarse, free: Array):
     def coarse(r: Array) -> Array:
         rb = r[None] if r.ndim == 1 else r
         S = rb.shape[0]
+        if batched_tables:
+            # a flat residual against per-system tables would silently
+            # broadcast and return only system 0's correction (ADVICE r3)
+            assert rb.shape[0] == w3.shape[0], (
+                "batched p1-coarse tables need a matching (S, ndof) "
+                f"residual batch: got {rb.shape[0]} vs S={w3.shape[0]}")
         w = w3 if batched_tables else jnp.broadcast_to(
             w3[None], (S,) + w3.shape)
         ix = idx3 if batched_tables else jnp.broadcast_to(

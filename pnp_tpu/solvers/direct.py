@@ -106,35 +106,56 @@ def batched_inv_f32(A_dense: Array, prefer_pallas: bool = False):
     return jax.lax.cond(ok, lambda: X, lambda: _xla_inv_f32(A32))
 
 
-def _pallas_inv_probe(A32: Array):
-    """Pallas blocked-GJ inverses + contraction-probe verdict.
+def probe_vectors(n: int, batch_shape=()):
+    """The contraction probe's test-vector set: (2, *batch, n) f32.
 
-    Every production use is an iterative-refinement / Krylov
-    preconditioner, so the acceptance criterion is the CONTRACTION of a
-    refinement probe, not the raw inverse residual (on the late-transient
-    advective stage matrices even LAPACK's pivoted f32 inverse has O(1)
-    elementwise ||XA - I|| entries — what matters is that
-    x <- x + X (b - A x) still converges). Two probe refinement steps on
-    b = A @ 1 must cut the residual to <= 0.25 ||b|| (contraction ~0.5
-    per step or better); ~5 matvecs, O(S N^2) — noise next to the
-    O(S N^3 / B) inversion itself. Norms are PER MATRIX: one diverging
-    subdomain among S must not hide under an aggregate norm (a finite but
-    diverging preconditioner saturates the refinement loop downstream —
-    the exact corner the guard exists to exclude).
+    SMOOTH (all-ones) plus ROUGH (alternating +-1, high-frequency in the
+    Morton/dof order hence spatially rough): the r3 flagship Pallas
+    decline showed matrices whose refinement contracts on smooth vectors
+    but diverges on rough residuals (VERDICT r3 item 8) — a smooth-only
+    probe has a documented blind spot exactly where refinement loops
+    spend their time (residuals are rough after the smooth error is
+    gone). Both vectors must contract for the probe to pass.
     """
-    from ..operators.pallas_kernels import batched_inverse_pallas
-    X = batched_inverse_pallas(A32)
+    smooth = jnp.ones(batch_shape + (n,), jnp.float32)
+    rough = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+    rough = jnp.broadcast_to(rough, batch_shape + (n,))
+    return jnp.stack([smooth, rough])
+
+
+def contraction_ok(A32: Array, X: Array):
+    """Two-step refinement contraction verdict for an (S, N, N) inverse.
+
+    The acceptance criterion is the CONTRACTION of a refinement probe,
+    not the raw inverse residual (on the late-transient advective stage
+    matrices even LAPACK's pivoted f32 inverse has O(1) elementwise
+    ||XA - I|| entries — what matters is that x <- x + X (b - A x) still
+    converges). Two refinement steps on b = A v for BOTH probe vectors
+    (:func:`probe_vectors` — smooth + rough) must cut the residual to
+    <= 0.25 ||b||; ~10 matvecs, O(S N^2) — noise next to the
+    O(S N^3 / B) inversion itself. Norms are PER MATRIX AND PER VECTOR:
+    one diverging subdomain among S must not hide under an aggregate
+    norm (a finite but diverging preconditioner saturates the refinement
+    loop downstream — the exact corner the guard exists to exclude).
+    """
     hi = jax.lax.Precision.HIGHEST
-    mv = lambda M, v: jnp.einsum("sij,sj->si", M, v, precision=hi)
-    b = mv(A32, jnp.ones(A32.shape[:2], jnp.float32))
+    mv = lambda M, v: jnp.einsum("sij,psj->psi", M, v, precision=hi)
+    b = mv(A32, probe_vectors(A32.shape[-1], A32.shape[:1]))   # (2, S, N)
     x1 = mv(X, b)
     r1 = b - mv(A32, x1)
     r2 = r1 - mv(A32, mv(X, r1))
-    nb = jnp.linalg.norm(b, axis=-1)                     # (S,)
+    nb = jnp.linalg.norm(b, axis=-1)                     # (2, S)
     nr2 = jnp.linalg.norm(r2, axis=-1)
-    ok = (jnp.all(jnp.isfinite(nr2)) & jnp.all(nr2 <= 0.25 * nb)
-          & jnp.all(jnp.isfinite(X)))
-    return X, ok
+    return (jnp.all(jnp.isfinite(nr2)) & jnp.all(nr2 <= 0.25 * nb)
+            & jnp.all(jnp.isfinite(X)))
+
+
+def _pallas_inv_probe(A32: Array):
+    """Pallas blocked-GJ inverses + contraction-probe verdict
+    (:func:`contraction_ok` — smooth AND rough probe vectors)."""
+    from ..operators.pallas_kernels import batched_inverse_pallas
+    X = batched_inverse_pallas(A32)
+    return X, contraction_ok(A32, X)
 
 
 def scaled_inv_apply(Ainv, rk: Array) -> Array:
@@ -189,18 +210,27 @@ def inv_f32_setup_large(A_eq32: Array, s32: Array, op_probe, n: int):
     """
     from ..operators.pallas_kernels import batched_inverse_pallas
 
+    assert A_eq32.shape[0] == 1, "very-large tier: one matrix per call"
+
     def build(a):
         X_eq = batched_inverse_pallas(a, equilibrate=False)
-        ones = jnp.ones((a.shape[0], n), jnp.float64)
-        b = op_probe(ones)
-        x1 = scaled_inv_apply((X_eq, s32), b)
-        r1 = b - op_probe(x1)
-        x2 = x1 + scaled_inv_apply((X_eq, s32), r1)
-        r2 = b - op_probe(x2)
-        nb = jnp.linalg.norm(b, axis=-1)
-        nr2 = jnp.linalg.norm(r2, axis=-1)
-        ok = (jnp.all(jnp.isfinite(nr2)) & jnp.all(nr2 <= 0.25 * nb)
-              & jnp.all(jnp.isfinite(X_eq)))
+
+        def contracts(v):
+            """Two refinement steps on b = A v must reach 0.25 ||b||."""
+            b = op_probe(v[None])
+            x1 = scaled_inv_apply((X_eq, s32), b)
+            r1 = b - op_probe(x1)
+            x2 = x1 + scaled_inv_apply((X_eq, s32), r1)
+            r2 = b - op_probe(x2)
+            nb = jnp.linalg.norm(b, axis=-1)
+            nr2 = jnp.linalg.norm(r2, axis=-1)
+            return jnp.all(jnp.isfinite(nr2)) & jnp.all(nr2 <= 0.25 * nb)
+
+        # smooth + rough probe vectors (VERDICT r3 item 8): rough
+        # residuals are where the smooth-only probe had its documented
+        # blind spot; both must contract
+        vs = probe_vectors(n).astype(jnp.float64)          # (2, n)
+        ok = contracts(vs[0]) & contracts(vs[1]) & jnp.all(jnp.isfinite(X_eq))
         return X_eq, ok
 
     try:
@@ -219,8 +249,12 @@ def inv_f32_setup_large(A_eq32: Array, s32: Array, op_probe, n: int):
         return None, False
 
 
-def inv_f32_setup(A_dense: Array) -> Array:
+def inv_f32_setup(A_dense: Array):
     """Setup-time batched f32 inverse with HOST-dispatched fallback.
+
+    Returns the (S, N, N) f32 inverse, or ``None`` when even the
+    host-LAPACK fallback fails the contraction probe (the caller keeps
+    its iterative path — see workloads/instationary_pnp_from_pb.py).
 
     For one-time factorizations of CONSTANT operators (the mid-size
     Poisson tier, workloads/instationary_pnp_from_pb.py). Unlike
@@ -243,8 +277,30 @@ def inv_f32_setup(A_dense: Array) -> Array:
         except Exception:  # Mosaic compile/vmem failure at extreme N
             pass
         import numpy as np
-        return jnp.asarray(
-            np.linalg.inv(np.asarray(A32, np.float64)).astype(np.float32))
+        X_host = np.linalg.inv(np.asarray(A32, np.float64)).astype(np.float32)
+        # probe the host inverse too (ADVICE r3): a pathologically
+        # conditioned operator would otherwise yield an unprobed inverse
+        # whose downstream refinement exits silently at maxrefine
+        A_np = np.asarray(A32, np.float64)
+        N = A_np.shape[-1]
+        vs = np.stack([np.ones(N), np.where(np.arange(N) % 2 == 0, 1.0,
+                                            -1.0)])          # smooth+rough
+        X64 = X_host.astype(np.float64)
+        b = np.einsum("sij,pj->psi", A_np, vs)
+        x1 = np.einsum("sij,psj->psi", X64, b)
+        r1 = b - np.einsum("sij,psj->psi", A_np, x1)
+        r2 = r1 - np.einsum("sij,psj->psi", A_np,
+                            np.einsum("sij,psj->psi", X64, r1))
+        nb = np.linalg.norm(b, axis=-1)
+        nr2 = np.linalg.norm(r2, axis=-1)
+        if not (np.all(np.isfinite(nr2)) and np.all(nr2 <= 0.25 * nb)):
+            import sys
+            print("[pnp_tpu] inv_f32_setup: host f32 inverse fails the "
+                  "contraction probe — inverse tier disabled for this "
+                  "operator (caller falls back to the iterative path)",
+                  file=sys.stderr, flush=True)
+            return None
+        return jnp.asarray(X_host)
     return _xla_inv_f32(A32)  # CPU LAPACK: no vmem limits
 
 
@@ -263,11 +319,14 @@ def make_inv_refine_solver_arg(A_el: Array, dofmap: Array, ndof: int,
     op = FA.make_constrained_operator_batched(A_el, dofmap, ndof, free)
 
     def apply_m(Ainv, rk):
-        # HIGHEST inside scaled_inv_apply: TPU default f32 matmul runs
-        # bf16 passes, which would degrade the contraction rate to ~1e-3
-        # and multiply refinement counts (measured 2 -> 10 on the pore
-        # problem). ``Ainv`` may be a plain inverse or the (X_eq, s)
-        # scaled pair of the very-large-N tier.
+        # ``Ainv`` may be a plain inverse (apply runs HIGHEST — the TPU
+        # default bf16 passes multiplied refinement counts 2 -> 10 on the
+        # advective stage matrices, CLAUDE.md r1) or the (X_eq, s) scaled
+        # pair of the very-large-N tier, whose apply INTENTIONALLY runs
+        # default precision: the SPD equilibrated Poisson inverse
+        # contracts ~5e-5/pass, leaving orders of magnitude of headroom
+        # (r3 A/B: identical refinement counts). The tuple form must NOT
+        # be reused for advective stage inverses, which have no headroom.
         return scaled_inv_apply(Ainv, rk)
 
     def solve(Ainv: Array, r: Array, reduction: float):

@@ -150,7 +150,10 @@ def _shard_map_ok(ctx) -> bool:
     host_tables mode (its global output cannot be closed over by jit)."""
     if not getattr(ctx, "host_tables", False):
         return True
-    from jax._src.core import trace_state_clean
+    try:  # private API — a jax upgrade renaming it must not ImportError
+        from jax._src.core import trace_state_clean
+    except ImportError:
+        return False  # conservative: replicated-local path (always correct)
     return not trace_state_clean()
 
 

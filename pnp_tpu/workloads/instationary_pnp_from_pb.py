@@ -243,8 +243,13 @@ def build_pnp_system(
         o_phi = FA.make_constrained_operator(A_phi, vt_phi.dofmap, ndof, ctx_phi.free)
         probe = jnp.sin(jnp.arange(ndof) * 0.7) + 1.1
         l_phi = estimate_dinv_spectral_radius(o_phi, d_phi, probe)
-        gphi0 = interp_grad(uphi_init[vt2.dofmap], vt2.gradphi)
-        K0 = V.drift_diffusion_jacobian_el(gphi0, vt2, 1.0, False, pi)
+        from ..operators.common import map_table_chunks
+
+        def _k0_body(tc, ue_c):
+            gphi0 = interp_grad(ue_c, tc.gradphi)
+            return V.drift_diffusion_jacobian_el(gphi0, tc, 1.0, False, pi)
+
+        K0 = map_table_chunks(_k0_body, vt2, (uphi_init[vt2.dofmap],))
         A0 = float(a_tab[0][1]) * M + (dt * float(b_tab[0][1])) * K0
         o0 = FA.make_constrained_operator(A0, vt2.dofmap, ndof, free_cp)
         d0 = FA.constrained_diagonal(A0, vt2.dofmap, ndof, free_cp)
@@ -432,9 +437,17 @@ def build_pnp_system(
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
     def _build_K_pair_generic(uphi_):
-        gphi = interp_grad(uphi_[vt2.dofmap], vt2.gradphi)
-        K_cp = V.drift_diffusion_jacobian_el(gphi, vt2, +1.0, False, pi)
-        K_cm = V.drift_diffusion_jacobian_el(gphi, vt2, -1.0, False, pi)
+        # interp_grad + both jacobians run INSIDE one element-chunked map:
+        # at level-3 scale an unchunked interp_grad materializes its own
+        # lane-padded gradphi temp (the 42x copies of the r3 compile OOM)
+        from ..operators.common import map_table_chunks
+
+        def body(tc, ue_c):
+            gphi = interp_grad(ue_c, tc.gradphi)
+            return (V.drift_diffusion_jacobian_el(gphi, tc, +1.0, False, pi),
+                    V.drift_diffusion_jacobian_el(gphi, tc, -1.0, False, pi))
+
+        K_cp, K_cm = map_table_chunks(body, vt2, (uphi_[vt2.dofmap],))
         return jnp.stack([K_cp, K_cm])
 
     # ---- fast dense stage assembly (P1): rank-1 drift as one MXU matmul --
@@ -924,7 +937,9 @@ def run_instationary_pnp_from_pb(
             # large-mesh factor amortization: refresh the RAS local
             # inverses every ras_refresh_every steps; stale factors only
             # raise BiCGSTAB counts (stage solves remain 1e-5-exact)
-            if ras_factor is None or (i - start_step) % ras_refresh_every == 0:
+            # keyed on the ABSOLUTE step so a checkpoint-resumed run shares
+            # the uninterrupted run's factor-staleness schedule (ADVICE r3)
+            if ras_factor is None or i % ras_refresh_every == 0:
                 ras_factor = system.species_factor(uphi)
             if i % sys.potentialUpdateFreq == 0:
                 # one program for species stages + Poisson re-solve

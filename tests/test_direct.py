@@ -167,3 +167,39 @@ def test_chunked_equilibrated_assembly_matches_dense(ref_test_dir):
     ref[:ndof, :ndof] = s_np[:, None] * A_ref * s_np[None, :]
     ref[range(ndof, Np), range(ndof, Np)] = 1.0
     assert np.abs(got - ref).max() < 1e-5
+
+
+def test_contraction_probe_rough_vector_blind_spot():
+    """The r3 smooth-only probe's documented blind spot (VERDICT r3 item
+    8): a preconditioner whose refinement contracts on smooth vectors but
+    diverges on rough residuals must now FAIL the probe.
+
+    Construction: A = I, X = I + e0 f^T with f alternating +-1 (so
+    f . 1 = 0). The refinement error operator is I - X A = -e0 f^T:
+    exactly zero on the all-ones probe (smooth passes with r1 = 0), but
+    amplifies alternating-sign residuals by |f . v| = N >> 1."""
+    import jax
+    from pnp_tpu.solvers.direct import contraction_ok, probe_vectors
+
+    N = 64
+    A = jnp.eye(N, dtype=jnp.float32)[None]
+    f = jnp.where(jnp.arange(N) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+    X = (jnp.eye(N, dtype=jnp.float32)
+         + jnp.zeros(N).at[0].set(1.0)[:, None] * f[None, :])[None]
+
+    # smooth-only check (the r3 probe) PASSES this matrix...
+    hi = jax.lax.Precision.HIGHEST
+    mv = lambda M, v: jnp.einsum("sij,sj->si", M, v, precision=hi)
+    b = mv(A, jnp.ones((1, N), jnp.float32))
+    r1 = b - mv(A, mv(X, b))
+    r2 = r1 - mv(A, mv(X, r1))
+    assert float(jnp.linalg.norm(r2)) <= 0.25 * float(jnp.linalg.norm(b))
+
+    # ...the smooth+rough probe rejects it
+    assert not bool(contraction_ok(A, X))
+    # and still accepts an honest inverse
+    assert bool(contraction_ok(A, jnp.eye(N, dtype=jnp.float32)[None]))
+    # probe vector set: smooth + alternating rough
+    vs = probe_vectors(N)
+    assert vs.shape == (2, N)
+    assert float(jnp.abs(vs[1][:-1] + vs[1][1:]).max()) == 0.0

@@ -136,6 +136,18 @@ def main():
                                   solve_lu, lu_out, r)
     (x_iv, it_iv), t_siv = timeit("solve: BiCGSTAB + inverse-matvec",
                                   solve_inv, inv, r)
+
+    # per-apply cost split (VERDICT r3 item 7): the halo exchange is the
+    # ONLY cross-device traffic of a Schwarz apply; the local inverse
+    # matvec is collective-free under shard_map
+    halo_j = jax.jit(lambda rr: ctx.local_with_halo(rr))
+    prec = SW.make_ras_inv_precond(ctx, inv)
+    _, t_halo = timeit("apply split: halo exchange only", halo_j, r)
+    _, t_prec = timeit("apply split: full Schwarz apply (halo+matvec)",
+                       jax.jit(prec), r)
+    print(f"  apply split: halo {t_halo:.2f} ms / local matvec "
+          f"{t_prec - t_halo:.2f} ms ({100 * t_halo / t_prec:.0f}% "
+          "of the apply is wire time)", flush=True)
     print(f"  iterations: lu={int(jnp.max(it_lu))} inv={int(jnp.max(it_iv))}",
           flush=True)
     d = float(jnp.max(jnp.abs(x_lu - x_iv)))
