@@ -53,6 +53,30 @@ def map_element_chunks(body, elem_args, chunk: int | None = None):
         lambda o: o.reshape((C * ch,) + o.shape[2:])[:E], out)
 
 
+def map_element_chunk_sum(body, elem_args, chunk: int | None = None):
+    """Chunked REDUCTION over the element axis: ``body(*chunks)`` returns
+    a pytree of arrays WITHOUT the element axis (partial sums — e.g. a
+    scattered coarse/global matrix); chunk results are summed. Pad
+    elements must contribute zero through the body (zero tables/values —
+    int index args pad to 0, so their values must be zero-padded too).
+    Bounds the lane-padded temps of element-einsum + scatter fusions the
+    same way :func:`map_element_chunks` does for per-element outputs.
+    """
+    ch = _ELEM_CHUNK if chunk is None else chunk
+    E = elem_args[0].shape[0]
+    if ch <= 0 or E <= ch:
+        return body(*elem_args)
+    C = -(-E // ch)
+    Ep = C * ch
+
+    def prep(a):
+        a = jnp.pad(a, ((0, Ep - E),) + ((0, 0),) * (a.ndim - 1))
+        return a.reshape((C, ch) + a.shape[1:])
+
+    out = jax.lax.map(lambda xs: body(*xs), tuple(prep(a) for a in elem_args))
+    return jax.tree_util.tree_map(lambda o: o.sum(axis=0), out)
+
+
 def map_table_chunks(kernel, t: VolumeTables, fields=(), chunk: int | None = None):
     """Chunked-run an element kernel over a :class:`VolumeTables`.
 

@@ -184,24 +184,39 @@ def build_local_inverses(ctx: BlockContext, A_el: Array, free: Array,
         A_el, free = A_el[None], free[None]
     S = A_el.shape[0]
     K, L, n = ctx.K, ctx.L, ctx.elem_dof_local.shape[2]
+    A32 = A_el.astype(jnp.float32)
+    f_loc_t = _gather_padded(ctx, free.astype(jnp.float32)
+                             ).swapaxes(0, 1)                # (K, S, L)
 
-    Ae = jnp.take(A_el.astype(jnp.float32), ctx.elem_ids.reshape(-1),
-                  axis=1).reshape(S, K, -1, n, n)
-    s_ix = jnp.arange(S)[:, None, None, None, None]
-    k_ix = jnp.arange(K)[None, :, None, None, None]
-    rows = ctx.elem_dof_local[None, :, :, :, None]
-    cols = ctx.elem_dof_local[None, :, :, None, :]
-    A = jnp.zeros((S, K, L + 1, L + 1), jnp.float32)
-    A = A.at[s_ix, k_ix, rows, cols].add(Ae)[:, :, :L, :L]
+    # BLOCK-chunked assembly (VERDICT r3 item 1 family): the per-block
+    # element gather (S, K, B_E2, n, n) is a tiny-minor-dim temp whose
+    # fused lane-padded copies scale with K*B_E2 — at level-3 scale
+    # (K=729) they alone approach HBM. Chunking the block axis bounds
+    # them; pad blocks assemble to identity and are sliced off.
+    def _assemble(eids, edl, f_c):                # (Kc, ...) per chunk
+        Kc = eids.shape[0]
+        Ae = jnp.take(A32, eids.reshape(-1), axis=1).reshape(
+            S, Kc, -1, n, n)
+        s_ix = jnp.arange(S)[:, None, None, None, None]
+        k_ix = jnp.arange(Kc)[None, :, None, None, None]
+        rows = edl[None, :, :, :, None]
+        cols = edl[None, :, :, None, :]
+        A = jnp.zeros((S, Kc, L + 1, L + 1), jnp.float32)
+        A = A.at[s_ix, k_ix, rows, cols].add(Ae)[:, :, :L, :L]
+        fl = f_c.swapaxes(0, 1)                   # (S, Kc, L)
+        A = A * fl[:, :, :, None] * fl[:, :, None, :]
+        bump = (1.0 - fl)
+        if rel_shift:
+            diag = jnp.abs(jnp.einsum("skll->skl", A))
+            bump = bump + rel_shift * jnp.max(diag, axis=2,
+                                              keepdims=True) * fl
+        A = A + jax.vmap(jax.vmap(jnp.diag))(bump)
+        return A.swapaxes(0, 1)                   # (Kc, S, L, L)
 
-    f_loc = _gather_padded(ctx, free.astype(jnp.float32))   # (S, K, L)
-    A = A * f_loc[:, :, :, None] * f_loc[:, :, None, :]
-    bump = (1.0 - f_loc)
-    if rel_shift:
-        diag = jnp.abs(jnp.einsum("skll->skl", A))
-        bump = bump + rel_shift * jnp.max(diag, axis=2,
-                                          keepdims=True) * f_loc
-    A = A + jax.vmap(jax.vmap(jnp.diag))(bump)
+    from ..operators.common import map_element_chunks
+    A = map_element_chunks(
+        _assemble, (ctx.elem_ids, ctx.elem_dof_local, f_loc_t),
+        chunk=256).swapaxes(0, 1)                 # (S, K, L, L)
     from .direct import batched_inv_f32
     # prefer the Pallas GJ here: the (S*K, L, L) subdomain-matrix shape is
     # where it measured 2.3x faster than XLA getrf+getri, and the
@@ -289,16 +304,26 @@ def build_p1_coarse(ctx: BlockContext, A_el: Array, dofmap: Array,
                        3 * K)
 
     dofmap_np = np.asarray(dofmap)
-    w_el = jnp.asarray(w3_np)[dofmap_np]                # (E, n, 3)
-    ei = jnp.asarray(idx3_np)[dofmap_np]                # (E, n, 3)
-    Aw = jnp.einsum("eij,eia,ejb->eiajb", A_el.astype(jnp.float32),
-                    w_el.astype(jnp.float32), w_el.astype(jnp.float32),
-                    precision=jax.lax.Precision.HIGHEST)
+    w_el = jnp.asarray(w3_np)[dofmap_np].astype(jnp.float32)   # (E, n, 3)
+    ei = jnp.asarray(idx3_np)[dofmap_np]                       # (E, n, 3)
     E, n = dofmap_np.shape
-    rows = ei.reshape(E, n * 3)
-    Ac = jnp.zeros((3 * K + 1, 3 * K + 1), jnp.float32).at[
-        rows[:, :, None], rows[:, None, :]].add(
-            Aw.reshape(E, n * 3, n * 3))[:3 * K, :3 * K]
+
+    # element-chunked Galerkin assembly (VERDICT r3 item 1 family): the
+    # (E, n, 3, n, 3) einsum product is tiny-minor-dim and its fused
+    # scatter remat-copies lane-pad ~100x — at the 367k-element level-3
+    # mesh that alone OOMs HBM at compile; chunking bounds the temps.
+    # Pad elements: zero A/w values scatter zeros at index 0 — harmless.
+    from ..operators.common import map_element_chunk_sum
+
+    def _chunk(A_c, w_c, e_c):
+        Aw = jnp.einsum("eij,eia,ejb->eiajb", A_c.astype(jnp.float32),
+                        w_c, w_c, precision=jax.lax.Precision.HIGHEST)
+        rows = e_c.reshape(e_c.shape[0], n * 3)
+        return jnp.zeros((3 * K + 1, 3 * K + 1), jnp.float32).at[
+            rows[:, :, None], rows[:, None, :]].add(
+                Aw.reshape(e_c.shape[0], n * 3, n * 3))
+
+    Ac = map_element_chunk_sum(_chunk, (A_el, w_el, ei))[:3 * K, :3 * K]
     # regularize: empty/degenerate modes (e.g. all-Dirichlet blocks, or
     # blocks whose free dofs are collinear) -> identity-ish rows
     d = jnp.diagonal(Ac)
@@ -347,16 +372,29 @@ def build_p1_coarse_batched(ctx: BlockContext, A_el: Array, dofmap: Array,
 
     dofmap_np = np.asarray(dofmap)
     E, n = dofmap_np.shape
-    w_el = jnp.asarray(w3_np)[:, dofmap_np]                     # (S, E, n, 3)
-    ei = jnp.asarray(idx3_np)[:, dofmap_np]                     # (S, E, n, 3)
-    Aw = jnp.einsum("seij,seia,sejb->seiajb", A_el.astype(jnp.float32),
-                    w_el.astype(jnp.float32), w_el.astype(jnp.float32),
-                    precision=jax.lax.Precision.HIGHEST)
-    rows = ei.reshape(S, E, n * 3)
-    s_ix = jnp.arange(S)[:, None, None, None]
-    Ac = jnp.zeros((S, 3 * K + 1, 3 * K + 1), jnp.float32).at[
-        s_ix, rows[:, :, :, None], rows[:, :, None, :]].add(
-            Aw.reshape(S, E, n * 3, n * 3))[:, :3 * K, :3 * K]
+    w_el = jnp.asarray(w3_np)[:, dofmap_np].astype(jnp.float32)  # (S,E,n,3)
+    ei = jnp.asarray(idx3_np)[:, dofmap_np]                      # (S,E,n,3)
+
+    # element-chunked Galerkin assembly, element axis moved in front for
+    # the chunker (same lane-padding bound as build_p1_coarse; ALSO the
+    # r3 "species_two_level faults the device at 46k" suspect — the
+    # batched 6-axis einsum + 4-D scatter was the one program the
+    # non-batched production sibling never ran at that size)
+    from ..operators.common import map_element_chunk_sum
+
+    def _chunk(A_c, w_c, e_c):                    # (Ec, S, ...) operands
+        Aw = jnp.einsum("esij,esia,esjb->esiajb", A_c.astype(jnp.float32),
+                        w_c, w_c, precision=jax.lax.Precision.HIGHEST)
+        Ec = e_c.shape[0]
+        rows = e_c.reshape(Ec, S, n * 3)
+        s_ix = jnp.arange(S)[None, :, None, None]
+        return jnp.zeros((S, 3 * K + 1, 3 * K + 1), jnp.float32).at[
+            s_ix, rows[:, :, :, None], rows[:, :, None, :]].add(
+                Aw.reshape(Ec, S, n * 3, n * 3))
+
+    Ac = map_element_chunk_sum(
+        _chunk, (A_el.swapaxes(0, 1), w_el.swapaxes(0, 1),
+                 ei.swapaxes(0, 1)))[:, :3 * K, :3 * K]
     d = jnp.diagonal(Ac, axis1=1, axis2=2)
     scale = jnp.max(jnp.abs(d), axis=1, keepdims=True) + 1.0
     Ac = Ac + jax.vmap(jnp.diag)(jnp.where(jnp.abs(d) > 1e-9 * scale,

@@ -250,3 +250,83 @@ def make_schwarz_precond(ctx, A_el: Array, free: Array,
         return make_ras_inv_precond(ctx, invert_local_matrices(ctx, A_loc),
                                     restricted)
     return make_ras_precond(ctx, factor_local_matrices(A_loc), restricted)
+
+
+def build_p1_coarse_dist(ctx, op, free_np, dof_coords):
+    """Piecewise-LINEAR per-shard coarse level for the distributed Schwarz.
+
+    The distributed analogue of solvers/block_ras.py:build_p1_coarse
+    (VERDICT r3 item 5 — the large-mesh solver tiers never existed on the
+    sharded path): 3 coarse dofs per DEVICE subdomain, span{1, x, y} in
+    shard-centered/scaled coordinates over the shard's free owned dofs.
+    The Galerkin coarse matrix is built through the CONSTRAINED operator
+    itself (3K column applies — setup-time only; each apply is one halo
+    exchange + SpMV, GSPMD inserts the collectives), so it is exact for
+    whatever operator ``op`` applies. Intended for the CONSTANT decoupled
+    Poisson operator, factored once per run; the coarse correction
+    removes the 1/H iteration growth of one-level Schwarz as shard counts
+    rise and mesh sizes grow.
+
+    ``free_np``: HOST (Kb,) bool mask (False = Dirichlet or padding).
+    Returns ``(cinv (3K, 3K), W (Kb, 3K))`` for
+    :func:`make_two_level_inv_precond`.
+    """
+    import numpy as np
+
+    plan = ctx.plan
+    K, B_N = plan.K, plan.B_N
+    og = plan.owned_global                                    # (K, B_N)
+    m = og >= 0
+    coords = np.zeros((K, B_N, 2))
+    coords[m] = np.asarray(dof_coords)[og[m]]
+    cnt = np.maximum(m.sum(axis=1), 1)[:, None]
+    cent = (coords * m[:, :, None]).sum(axis=1) / cnt          # (K, 2)
+    span = np.maximum(
+        (np.abs(coords - cent[:, None, :]) * m[:, :, None]).max(axis=1),
+        1e-12)                                                 # (K, 2)
+    xs = (coords - cent[:, None, :]) / span[:, None, :]
+    base3 = np.concatenate([np.ones((K, B_N, 1)), xs], axis=2)  # (K, B_N, 3)
+    w = base3 * (m & np.asarray(free_np).reshape(K, B_N))[:, :, None]
+    W_np = np.zeros((K, B_N, 3 * K))
+    for k in range(K):
+        W_np[k, :, 3 * k:3 * k + 3] = w[k]
+    W = ctx.put_sharded(W_np.reshape(K * B_N, 3 * K))
+    W = jnp.asarray(W)
+
+    @jax.jit
+    def _coarse_matrix(W_):
+        cols = [op(W_[:, c]) for c in range(3 * K)]            # setup-time
+        AW = jnp.stack(cols, axis=1)                           # (Kb, 3K)
+        return W_.T @ AW                                       # (3K, 3K)
+
+    Ac = np.asarray(_coarse_matrix(W), np.float64)
+    # regularize empty/degenerate modes (all-Dirichlet shards, collinear
+    # free dofs) -> identity-ish rows, same policy as build_p1_coarse
+    d = np.abs(np.diagonal(Ac))
+    scale = d.max() + 1.0
+    Ac = Ac + np.diag(np.where(d > 1e-9 * scale, 1e-6 * d, 1.0))
+    cinv = np.linalg.inv(Ac)
+    return jnp.asarray(cinv), W
+
+
+def make_two_level_inv_precond(ctx, inv, p1_coarse, op, free,
+                               restricted: bool = True):
+    """Multiplicative RAS + per-shard-linear coarse correction (FLAT
+    vectors — the production user is the distributed Poisson solve).
+
+    z1 = RAS(r); z = z1 + W Ac^-1 W^T (r - A z1). One extra operator
+    apply per call (a halo exchange + SpMV); the coarse solve itself is a
+    replicated (3K, 3K) matvec — noise. Nonsymmetric: pair with BiCGSTAB.
+    """
+    ras = make_ras_inv_precond(ctx, inv, restricted)
+    cinv, W = p1_coarse
+
+    def precond(r: Array) -> Array:
+        z1 = ras(r)
+        resid = jnp.where(free, r - op(z1), 0.0)
+        rc = resid @ W                                         # (3K,)
+        zc = cinv.astype(r.dtype) @ rc.astype(r.dtype)
+        z = z1 + jnp.where(free, W.astype(r.dtype) @ zc, 0.0)
+        return z
+
+    return precond

@@ -220,8 +220,26 @@ def build_dist_pnp_system(
     # ---- Phase C: operators + the constant Poisson factorization ---------
     M_el = V.mass_jacobian_el(vt5, 1.0, False, pi)        # ref: planar mass
     A_phi = V.poisson_jacobian_el(vt_p, sys.cylindrical, pi)
-    M_phi = SW.make_schwarz_precond(ctx, A_phi, free_phi)
     op_phi = ctx.make_constrained_operator(A_phi, free_phi)
+    if space.ndof > 8192 and not ctx.host_tables:
+        # LARGE-MESH tier on the sharded path (VERDICT r3 item 5: the
+        # single-chip solver tiers were gated device_mesh is None, so
+        # "big meshes" and "many devices" had never met): two-level
+        # Schwarz for the constant Poisson operator — per-shard explicit
+        # inverses + a per-shard piecewise-LINEAR coarse level, both
+        # factored once per run. Mirrors the single-chip block-RAS
+        # linear-coarse default (solvers/block_ras.py:build_p1_coarse).
+        free_phi_np = (ctx.partition(
+            np.asarray(ctx_phi.free).astype(np.int8)).astype(bool)
+            & np.asarray(pad))
+        inv_phi = SW.invert_local_matrices(
+            ctx, SW.build_local_matrices(ctx, A_phi, free_phi))
+        p1_phi = SW.build_p1_coarse_dist(ctx, op_phi, free_phi_np,
+                                         space.dof_coords)
+        M_phi = SW.make_two_level_inv_precond(ctx, inv_phi, p1_phi,
+                                              op_phi, free_phi)
+    else:
+        M_phi = SW.make_schwarz_precond(ctx, A_phi, free_phi)
 
     def _build_K_pair(uphi_):
         xe = ctx.gather_elem(uphi_)                        # (F, n)
@@ -433,7 +451,9 @@ def run_distributed_pnp_from_pb(
             # Schwarz factor amortization: refresh the block-LU every
             # ras_refresh_every steps; stale factors only raise BiCGSTAB
             # counts (stage solves remain 1e-5-exact)
-            if factor is None or (i - start_step) % ras_refresh_every == 0:
+            # absolute step keys the schedule so checkpoint-resumed runs
+            # share the uninterrupted run's factor staleness (ADVICE r3)
+            if factor is None or i % ras_refresh_every == 0:
                 factor = system.species_factor(uphi)
             if i % sys.potentialUpdateFreq == 0:
                 uphi, uc = system.fused_step_reuse(factor, uphi, uc)

@@ -83,6 +83,9 @@ class PnpSystem:
     # species_step_reuse + poisson_solve as ONE program (one dispatch per
     # step instead of two; XLA can overlap the tails):
     fused_step_reuse: Any = None     # (factor, uphi, ucp, ucm) -> state'
+    # dense path only: jitted (uphi) -> (2, ndof, ndof) f32 constrained
+    # stage matrices (tooling hook: tools/tpu_flagship_inverse_study.py)
+    species_dense_f32: Any = None
 
 
 def build_pnp_system(
@@ -846,7 +849,9 @@ def build_pnp_system(
         species_factor=_factor_pub,
         species_step_reuse=_ssr_pub,
         factor_kind=_factor_kind,
-        fused_step_reuse=_fsr_pub)
+        fused_step_reuse=_fsr_pub,
+        species_dense_f32=(jax.jit(_species_dense_f32)
+                           if use_dense_species else None))
 
 
 @dataclasses.dataclass

@@ -1,0 +1,107 @@
+"""Large meshes ON many devices (VERDICT r3 item 5).
+
+Round 3 left the two halves of the engine apart: the large-mesh solver
+tiers were gated ``device_mesh is None`` and the distributed driver had
+no coarse level, so "big meshes" and "many devices" had never met. Here
+the 11,839-node red-refined pore runs the DISTRIBUTED production driver
+on the 8-virtual-device CPU mesh with the new two-level Schwarz Poisson
+(per-shard explicit inverses + per-shard linear coarse,
+solvers/schwarz.py:build_p1_coarse_dist) and must match the single-chip
+block-RAS trajectory. Reference bar: MPI exists FOR big meshes
+(/root/reference/src/pnp_solver_main.cc:106-116, loadBalance -> NOVLP).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_tpu.config import read_config
+from pnp_tpu.fem.space import FunctionSpace
+from pnp_tpu.meshio import read_gmsh
+from pnp_tpu.meshio.refine import refine_uniform
+from pnp_tpu.parallel.sharding import make_device_mesh
+from pnp_tpu.workloads.distributed_pnp import run_distributed_pnp_from_pb
+from pnp_tpu.workloads.instationary_pnp_from_pb import (
+    run_instationary_pnp_from_pb)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+PORE_CFG = "/root/reference/test/pore_pnp/pore.cfg"
+
+
+@needs_8
+def test_two_level_coarse_cuts_poisson_iterations():
+    """The distributed p1 coarse correction must (a) keep the Poisson
+    solve exact and (b) not be a no-op: two-level iterations strictly
+    below one-level on the refined pore Poisson operator."""
+    from pnp_tpu.fem import constraints as C
+    from pnp_tpu.operators import volume as V
+    from pnp_tpu.parallel.dist import build_dist_context
+    from pnp_tpu.solvers import schwarz as SW
+    from pnp_tpu.solvers.krylov import bicgstab
+    from pnp_tpu.workloads.common import make_scalar_context
+    from pnp_tpu.workloads.distributed_pnp import partition_volume_tables
+
+    cfg = read_config(PORE_CFG)
+    cfg.linearSolverIterations = 3000
+    mesh = refine_uniform(read_gmsh(cfg.meshfile), 1)
+    space = FunctionSpace(mesh, 1)
+    assert space.ndof > 8192
+    dmesh = make_device_mesh(8)
+    ctx = build_dist_context(space, dmesh)
+    ctx_phi = make_scalar_context(cfg, space, component=0, quad_order=3)
+    vt_p = partition_volume_tables(ctx, ctx_phi.vt)
+    pad = ctx.pad_mask_flat()
+    free_np = (ctx.partition(np.asarray(ctx_phi.free).astype(np.int8)
+                             ).astype(bool) & pad)
+    free = ctx.put_sharded(jnp.asarray(free_np))
+    A_phi = V.poisson_jacobian_el(vt_p, cfg.cylindrical, cfg.pi)
+    op = ctx.make_constrained_operator(A_phi, free)
+    inv = SW.invert_local_matrices(
+        ctx, SW.build_local_matrices(ctx, A_phi, free))
+    M1 = SW.make_ras_inv_precond(ctx, inv)
+    p1 = SW.build_p1_coarse_dist(ctx, op, free_np, space.dof_coords)
+    M2 = SW.make_two_level_inv_precond(ctx, inv, p1, op, free)
+
+    r = jnp.where(free, 1.0, 0.0)
+    res1 = bicgstab(op, r, jnp.zeros_like(r), M1, 1e-10, 3000)
+    res2 = bicgstab(op, r, jnp.zeros_like(r), M2, 1e-10, 3000)
+    # both exact
+    for res in (res1, res2):
+        tr = float(jnp.linalg.norm(r - op(res.x)) / jnp.linalg.norm(r))
+        assert tr < 1e-9, tr
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res1.x),
+                               atol=1e-8 * float(jnp.abs(res1.x).max()))
+    assert int(res2.iterations) < int(res1.iterations), (
+        int(res1.iterations), int(res2.iterations))
+
+
+@needs_8
+def test_refined_pore_distributed_matches_single_chip_block_ras():
+    """11,839 nodes, 8 devices, 2 production steps vs the single-chip
+    block-RAS path (shared PB bootstrap isolates phases C/D). Tolerance
+    is the stage-solve slack budget of the 1e-5 stage tolerance."""
+    from pnp_tpu.workloads.pb import solve_pb
+
+    cfg = read_config(PORE_CFG)
+    cfg.verbosity = 0
+    cfg.linearSolverIterations = 3000
+    mesh = refine_uniform(read_gmsh(cfg.meshfile), 1)
+    space = FunctionSpace(mesh, 1)
+    assert space.ndof == 11839, space.ndof
+    pb = np.asarray(solve_pb(cfg, space).u)     # block-RAS PB at 11,839
+    res_d = run_distributed_pnp_from_pb(
+        cfg, space, make_device_mesh(8), n_steps=2, pb_field=pb,
+        presolve_potential=True)
+    res_s = run_instationary_pnp_from_pb(
+        cfg, space, n_steps=2, presolve_potential=True,
+        poisson_inv_threshold=0)                # iterative two-level RAS
+    for name, a, b in (("phi", res_s.phi, res_d.phi),
+                       ("cp", res_s.cp, res_d.cp),
+                       ("cm", res_s.cm, res_d.cm)):
+        a = np.asarray(a)
+        assert np.isfinite(b).all(), name
+        scale = float(np.max(np.abs(a))) + 1.0
+        assert float(np.max(np.abs(a - b))) / scale < 5e-4, name
