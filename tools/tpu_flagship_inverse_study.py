@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_steps=24):
+def main(n_steps=60):
     from pnp_tpu.config import read_config
     from pnp_tpu.fem.space import FunctionSpace
     from pnp_tpu.meshio import read_gmsh
@@ -92,6 +92,17 @@ def main(n_steps=24):
         return 2.0 * x - jnp.matmul(x, jnp.matmul(a, x, precision=hi),
                                     precision=hi)
 
+    from pnp_tpu.operators.pallas_kernels import batched_inverse_pallas
+
+    @jax.jit
+    def gj(a):
+        return batched_inverse_pallas(a)
+
+    @jax.jit
+    def gj_probe(a):
+        from pnp_tpu.solvers.direct import _pallas_inv_probe
+        return _pallas_inv_probe(a)
+
     print("[microbench] batched (2, N, N) primitives:", flush=True)
     timeit("inv HIGHEST", inv_hi, A0)
     timeit("inv default", inv_def, A0)
@@ -100,6 +111,11 @@ def main(n_steps=24):
     timeit("matmul HIGHEST", mm_hi, A0, X0)
     timeit("matmul default", mm_def, A0, X0)
     timeit("NS step (2 matmul HIGHEST)", ns1, A0, X0)
+    try:
+        timeit("Pallas GJ", gj, A0)
+        timeit("Pallas GJ + rough probe", gj_probe, A0)
+    except Exception as e:
+        print(f"  Pallas GJ failed: {str(e)[:200]}", flush=True)
 
     # --- production transient: quality per variant --------------------
     # reach the dense-f32 stage matrices through the system's own builder
@@ -141,10 +157,14 @@ def main(n_steps=24):
         A32 = dense_f32(uphi)
         X_fresh = inv_hi(A32)
         row = {"step": i}
-        variants = {"fresh": X_fresh, "def": inv_def(A32)}
+        variants = {"fresh": X_fresh}
+        try:
+            X_gj, gj_ok = gj_probe(A32)
+            row["gj_probe"] = "ok" if bool(gj_ok) else "FAIL"
+            variants["gj"] = X_gj
+        except Exception as e:
+            row["gj_probe"] = f"ERR:{str(e)[:60]}"
         if X_prev is not None:
-            variants["ns1"] = ns_update(X_prev, A32)
-            variants["ns2"] = ns_update2(X_prev, A32)
             variants["stale"] = X_prev
         for name, X in variants.items():
             ok = bool(probe_j(A32, X))
