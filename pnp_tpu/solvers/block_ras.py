@@ -409,10 +409,28 @@ def make_p1_coarse_correction(ctx: BlockContext, p1_coarse, free: Array):
 
     Accepts the flat tables of :func:`build_p1_coarse` (shared across a
     batch) or the per-system tables of :func:`build_p1_coarse_batched`
-    (cinv (S, 3K, 3K), w3/idx3 (S, ndof, 3))."""
+    (cinv (S, 3K, 3K), w3/idx3 (S, ndof, 3)).
+
+    GATHER formulation (r4): the r3 apply scattered (ndof, 3) mode
+    contributions through idx3 — at 185k dofs the lane-3-padded
+    scatter/gather fusions cost 68.8 ms per apply (2x per Krylov
+    iteration, the dominant piece of the L3 two-level cost,
+    tools/results_tpu_l3_profile_r4.log). The owner blocks are exactly
+    the [0, B) owned slots of ``ctx.loc2glob``, so restriction is a
+    fixed-shape gather + einsum over (K, B) owned values and
+    prolongation one unique-index set — no variable scatter at all.
+    Dtype follows the residual (an f64 table must not promote the f32
+    inner-Krylov path's vectors — the bug the L3 profile crashed on).
+    """
     cinv, w3, idx3 = p1_coarse
     K3 = cinv.shape[-1]
+    K = ctx.K
     batched_tables = w3.ndim == 3
+    own = ctx.loc2glob[:, :ctx.B]                       # (K, B), pad = ndof
+    # per-owned-slot mode weights, (S?, K, B, 3); pad slots read 0
+    w_ext = jnp.concatenate(
+        [w3, jnp.zeros(w3.shape[:-2] + (1, 3), w3.dtype)], axis=-2)
+    w_own = w_ext[..., own, :]                          # (S?, K, B, 3)
 
     def coarse(r: Array) -> Array:
         rb = r[None] if r.ndim == 1 else r
@@ -423,21 +441,21 @@ def make_p1_coarse_correction(ctx: BlockContext, p1_coarse, free: Array):
             assert rb.shape[0] == w3.shape[0], (
                 "batched p1-coarse tables need a matching (S, ndof) "
                 f"residual batch: got {rb.shape[0]} vs S={w3.shape[0]}")
-        w = w3 if batched_tables else jnp.broadcast_to(
-            w3[None], (S,) + w3.shape)
-        ix = idx3 if batched_tables else jnp.broadcast_to(
-            idx3[None], (S,) + idx3.shape)
-        contrib = rb[:, :, None] * w                    # (S, ndof, 3)
-        rc = jnp.zeros((S, K3 + 1), rb.dtype).at[
-            jnp.arange(S)[:, None, None], ix].add(contrib)[:, :K3]
-        ci = cinv if cinv.ndim == 3 else jnp.broadcast_to(
-            cinv[None], (S,) + cinv.shape)
-        zc = jnp.einsum("skj,sj->sk", ci.astype(rb.dtype), rc,
-                        precision=jax.lax.Precision.HIGHEST)
-        zc_ext = jnp.concatenate([zc, jnp.zeros((S, 1), rb.dtype)], axis=1)
-        z = jnp.take_along_axis(zc_ext, ix.reshape(S, -1),
-                                axis=1).reshape(ix.shape)
-        z = jnp.sum(z * w, axis=2)
+        wo = (w_own if batched_tables else w_own[None]).astype(rb.dtype)
+        rb_ext = jnp.concatenate(
+            [rb, jnp.zeros((S, 1), rb.dtype)], axis=1)
+        r_own = rb_ext[:, own]                          # (S, K, B)
+        rc = jnp.einsum("skb,skbm->skm", r_own, jnp.broadcast_to(
+            wo, (S, K, ctx.B, 3))).reshape(S, K3)
+        ci = cinv if cinv.ndim == 3 else cinv[None]
+        zc = jnp.einsum("skj,sj->sk",
+                        jnp.broadcast_to(ci, (S, K3, K3)).astype(rb.dtype),
+                        rc, precision=jax.lax.Precision.HIGHEST)
+        z_own = jnp.einsum("skm,skbm->skb", zc.reshape(S, K, 3),
+                           jnp.broadcast_to(wo, (S, K, ctx.B, 3)))
+        # owned slots partition the dofs -> unique-index set (pad drops)
+        z = jnp.zeros((S, ctx.ndof), rb.dtype).at[
+            :, own.reshape(-1)].set(z_own.reshape(S, -1), mode="drop")
         z = jnp.where(free, z, 0.0)
         return z[0] if r.ndim == 1 else z
 

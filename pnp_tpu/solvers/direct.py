@@ -305,7 +305,8 @@ def inv_f32_setup(A_dense: Array):
 
 
 def make_inv_refine_solver_arg(A_el: Array, dofmap: Array, ndof: int,
-                               free: Array, maxrefine: int = 40):
+                               free: Array, maxrefine: int = 40,
+                               residual_mixed: bool = False):
     """Return solve(Ainv, r, reduction) -> (x, n_refinements).
 
     ``Ainv`` is a RUNTIME ARGUMENT, never a closure constant: the axon
@@ -315,8 +316,18 @@ def make_inv_refine_solver_arg(A_el: Array, dofmap: Array, ndof: int,
     before this restructure). Same refinement contract as
     :func:`make_lu_refine_solver`: correctness comes from the exact f64
     element-block residual, the inverse only sets the contraction rate.
+
+    ``residual_mixed``: compute refinement residuals through the
+    true-f32 (precision=HIGHEST) element operator instead of the
+    f64-emulated one. ONLY for stage-tolerance (1e-5) solves: the f32
+    residual is ~1e-7-relative-accurate, two decades under the target,
+    while f64 SpMV is EMULATED on TPU (the r3 at-scale lesson). Never
+    for 1e-10 solves (the Poisson tier keeps f64 residuals).
     """
-    op = FA.make_constrained_operator_batched(A_el, dofmap, ndof, free)
+    if residual_mixed:
+        op = FA.make_constrained_operator_mixed(A_el, dofmap, ndof, free)
+    else:
+        op = FA.make_constrained_operator_batched(A_el, dofmap, ndof, free)
 
     def apply_m(Ainv, rk):
         # ``Ainv`` may be a plain inverse (apply runs HIGHEST — the TPU
@@ -359,11 +370,13 @@ def make_inv_refine_solver_arg(A_el: Array, dofmap: Array, ndof: int,
 
 
 def make_inv_refine_solver(Ainv, A_el: Array, dofmap: Array, ndof: int,
-                           free: Array, maxrefine: int = 40):
+                           free: Array, maxrefine: int = 40,
+                           residual_mixed: bool = False):
     """Closure form of :func:`make_inv_refine_solver_arg` for call sites
     whose ``Ainv`` is small enough to embed (the per-step species factors
     at flagship size, ~74 MB) or is already a traced value."""
-    solve = make_inv_refine_solver_arg(A_el, dofmap, ndof, free, maxrefine)
+    solve = make_inv_refine_solver_arg(A_el, dofmap, ndof, free, maxrefine,
+                                       residual_mixed)
     return lambda r, reduction: solve(Ainv, r, reduction)
 
 

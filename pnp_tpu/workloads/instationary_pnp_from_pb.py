@@ -101,6 +101,8 @@ def build_pnp_system(
     poisson_inv_threshold: int = 49152,
     species_inv_threshold: int = 0,
     species_two_level: Optional[bool] = None,
+    stage_residual_f32: Optional[bool] = None,
+    krylov_f32_inner: Optional[bool] = None,
 ) -> PnpSystem:
     """Compile the production pipeline.
 
@@ -178,6 +180,24 @@ def build_pnp_system(
         # size-gated default once the scaled e2e records the win
         species_two_level = os.environ.get("PNP_TPU_SPECIES_2L") == "1"
     species_two_level = species_two_level and use_block_ras
+    if stage_residual_f32 is None:
+        # stage (1e-5) refinement residuals via the true-f32 element
+        # operator instead of f64-EMULATED SpMV — opt-in pending the TPU
+        # e2e A/B (CLAUDE.md rule: TPU-only switches need hardware
+        # evidence in the same commit that defaults them)
+        stage_residual_f32 = os.environ.get("PNP_TPU_STAGE_RES32") == "1"
+    stage_residual_f32 = stage_residual_f32 and jax.default_backend() == "tpu"
+    if krylov_f32_inner is None:
+        # f32 KRYLOV VECTORS on the block-RAS paths: r3 made the operator
+        # APPLIES f32 but left the BiCGSTAB recurrences/dots/axpys on
+        # f64-EMULATED vectors — the L3 profile measured the f64 op apply
+        # at 164 ms vs 21 ms f32 (tools/tpu_l3_profile.py). The 1e-10
+        # Poisson target is reached by f64-exact outer residuals between
+        # f32 passes (unchanged structure); stage solves are 1e-5 where
+        # f32 norms are ~1e-7-accurate. Opt-in pending the TPU e2e.
+        krylov_f32_inner = os.environ.get("PNP_TPU_KRYLOV32") == "1"
+    krylov_f32_inner = (krylov_f32_inner and use_block_ras
+                        and jax.default_backend() == "tpu")
 
     # ---- Phase A: PB bootstrap ------------------------------------------
     if pb_field is None:
@@ -574,7 +594,8 @@ def build_pnp_system(
             from ..solvers.direct import make_inv_refine_solver
             A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
             solve_direct = make_inv_refine_solver(
-                factor, A_stage, vt2.dofmap, ndof, free_pair)
+                factor, A_stage, vt2.dofmap, ndof, free_pair,
+                residual_mixed=stage_residual_f32)
 
         levels = [u_old]
         iters = jnp.int32(0)
@@ -627,9 +648,13 @@ def build_pnp_system(
                                                     p1_coarse=p1_s)
                 else:
                     M_s = BR.make_ras_precond(ctx_ras, inv_s, free_pair)
-                res = bicgstab(op, r, jnp.zeros_like(r), M_s,
+                # f32 Krylov vectors (krylov_f32_inner): the stage target
+                # is 1e-5 relative where f32 norms carry ~1e-7 accuracy;
+                # every f64 vector op in the loop body is EMULATED on TPU
+                rs = r.astype(jnp.float32) if krylov_f32_inner else r
+                res = bicgstab(op, rs, jnp.zeros_like(rs), M_s,
                                stage_reduction, sys.linearSolverIterations)
-                levels.append(guess - res.x)
+                levels.append(guess - res.x.astype(r.dtype))
                 iters = iters + res.iterations
                 continue
             dg = jnp.einsum("seii->sei", A_el)
@@ -746,18 +771,42 @@ def build_pnp_system(
             M_ras = BR.make_two_level_precond(ctx_ras, inv_p, None, op_phi,
                                               ctx_phi.free, p1_coarse=p1_p)
             if mixed_precision:
-                # two f32-operator passes at 1e-5 with an exact f64
-                # residual between them reach the 1e-10 target (classic
-                # mixed-precision iterative refinement)
+                # f32-operator passes at 1e-5 with exact f64 residuals
+                # between them (mixed-precision iterative refinement).
+                # r3 hard-coded TWO passes; now the loop CHECKS the true
+                # f64 residual and runs passes until the 1e-10 target
+                # (bounded) — mandatory once krylov_f32_inner also drops
+                # the pass VECTORS to f32 (each pass's true reduction
+                # then has an f32 floor; extra passes recover it).
                 op_mx = FA.make_constrained_operator_mixed(
                     A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
-                r1 = bicgstab(op_mx, r, jnp.zeros_like(r), M_ras, 1e-5,
-                              sys.linearSolverIterations)
-                r_exact = ctx_phi.constrain(r - op_phi(r1.x))
-                r2 = bicgstab(op_mx, r_exact, jnp.zeros_like(r), M_ras,
-                              1e-5, sys.linearSolverIterations)
-                return (uphi_ - (r1.x + r2.x),
-                        r1.iterations + r2.iterations)
+
+                def _pass(rhs):
+                    rs = (rhs.astype(jnp.float32) if krylov_f32_inner
+                          else rhs)
+                    res = bicgstab(op_mx, rs, jnp.zeros_like(rs), M_ras,
+                                   1e-5, sys.linearSolverIterations)
+                    return res.x.astype(rhs.dtype), res.iterations
+
+                tol10 = 1e-10 * jnp.linalg.norm(r)
+
+                def p_cond(state):
+                    _, rk, _, p = state
+                    nk = jnp.linalg.norm(rk)
+                    return (jnp.isfinite(nk) & (nk > tol10)) & (p < 6)
+
+                def p_body(state):
+                    x, rk, k, p = state
+                    xp, kp = _pass(rk)
+                    x = x + xp
+                    rk = ctx_phi.constrain(r - op_phi(x))
+                    return x, rk, k + kp, p + 1
+
+                x1, k1 = _pass(r)
+                r1 = ctx_phi.constrain(r - op_phi(x1))
+                x, _, k, _ = jax.lax.while_loop(
+                    p_cond, p_body, (x1, r1, k1, jnp.int32(1)))
+                return uphi_ - x, k
             res = bicgstab(op_phi, r, jnp.zeros_like(r), M_ras, 1e-10,
                            sys.linearSolverIterations)
             return uphi_ - res.x, res.iterations

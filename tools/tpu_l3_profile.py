@@ -86,28 +86,43 @@ def main(levels=3):
     free = ctx_phi.free
     op64 = FA.make_constrained_operator(A_el, vt.dofmap, ndof, free)
     op32 = FA.make_constrained_operator_mixed(A_el, vt.dofmap, ndof, free)
-    ras = BR.make_ras_precond(ctx_ras, inv, free)
-    coarse = BR.make_p1_coarse_correction(ctx_ras, p1, free)
-    two = BR.make_two_level_precond(ctx_ras, inv, None, op32, free,
-                                    p1_coarse=p1)
 
     r = jnp.where(free, jnp.sin(jnp.arange(ndof) * 0.7), 0.0)
-    # one jitted program per piece, dependency-chained args
+    r32 = r.astype(jnp.float32)
+    # factors are RUNTIME ARGUMENTS everywhere (a 450 MB closure constant
+    # trips the remote compiler's request-body limit, CLAUDE.md r3)
     timeit("op f64 apply", jax.jit(lambda x: op64(x)), r)
-    timeit("op f32-mixed apply", jax.jit(lambda x: op32(x)), r)
-    timeit("RAS apply", jax.jit(lambda x: ras(x)), r)
-    timeit("p1 coarse apply", jax.jit(lambda x: coarse(x)), r)
-    timeit("two-level apply (RAS+op+coarse)", jax.jit(lambda x: two(x)), r)
+    timeit("op f32-mixed apply (f64 io)", jax.jit(lambda x: op32(x)), r)
+    timeit("op f32-mixed apply (f32 io)", jax.jit(lambda x: op32(x)), r32)
+    timeit("RAS apply (f64 io)",
+           jax.jit(lambda iv, x: BR.make_ras_precond(ctx_ras, iv, free)(x)),
+           inv, r)
+    timeit("RAS apply (f32 io)",
+           jax.jit(lambda iv, x: BR.make_ras_precond(ctx_ras, iv, free)(x)),
+           inv, r32)
+    timeit("p1 coarse apply",
+           jax.jit(lambda p, x: BR.make_p1_coarse_correction(
+               ctx_ras, p, free)(x)), p1, r)
+    timeit("two-level apply (f64 io)",
+           jax.jit(lambda iv, p, x: BR.make_two_level_precond(
+               ctx_ras, iv, None, op32, free, p1_coarse=p)(x)), inv, p1, r)
     timeit("f64 dot", jax.jit(lambda x: jnp.vdot(x, x)), r)
     timeit("f64 axpy", jax.jit(lambda x: x + 0.5 * x), r)
+    timeit("f32 dot", jax.jit(lambda x: jnp.vdot(x, x)), r32)
+    timeit("f32 axpy", jax.jit(lambda x: x + 0.5 * x), r32)
 
     @jax.jit
-    def solve5(rr):
+    def solve5(iv, p, rr):
+        two = BR.make_two_level_precond(ctx_ras, iv, None, op32, free,
+                                        p1_coarse=p)
         res = bicgstab(op32, rr, jnp.zeros_like(rr), two, 1e-30, 5)
         return res.x
 
-    _, ms5 = timeit("bicgstab 5 its (f32 op, two-level)", solve5, r, n=3)
+    _, ms5 = timeit("bicgstab 5 its (f64 vectors)", solve5, inv, p1, r, n=3)
     print(f"  -> per-iteration {ms5 / 5:.1f} ms", flush=True)
+    _, ms5b = timeit("bicgstab 5 its (f32 vectors)", solve5, inv, p1, r32,
+                     n=3)
+    print(f"  -> per-iteration {ms5b / 5:.1f} ms", flush=True)
 
     # species-shaped batched pieces
     free_pair = jnp.stack([free, free])
@@ -115,7 +130,10 @@ def main(levels=3):
     op_b = FA.make_constrained_operator_mixed(A_pair, vt.dofmap, ndof,
                                               free_pair)
     rb = jnp.stack([r, r])
-    timeit("batched(2) f32 op apply", jax.jit(lambda x: op_b(x)), rb)
+    timeit("batched(2) f32 op apply (f64 io)", jax.jit(lambda x: op_b(x)),
+           rb)
+    timeit("batched(2) f32 op apply (f32 io)", jax.jit(lambda x: op_b(x)),
+           rb.astype(jnp.float32))
 
     @jax.jit
     def _ras_stage(a):
@@ -128,8 +146,14 @@ def main(levels=3):
     print(f"stage factor build(+compile): {time.perf_counter() - t0:.1f} s",
           flush=True)
     timeit("stage factor rebuild", _ras_stage, A_el, n=2)
-    ras2 = BR.make_ras_precond(ctx_ras, inv2, free_pair)
-    timeit("batched RAS apply", jax.jit(lambda x: ras2(x)), rb)
+    timeit("batched RAS apply (f64 io)",
+           jax.jit(lambda iv, x: BR.make_ras_precond(ctx_ras, iv,
+                                                     free_pair)(x)),
+           inv2, rb)
+    timeit("batched RAS apply (f32 io)",
+           jax.jit(lambda iv, x: BR.make_ras_precond(ctx_ras, iv,
+                                                     free_pair)(x)),
+           inv2, rb.astype(jnp.float32))
     print("L3-PROFILE-OK", flush=True)
 
 
