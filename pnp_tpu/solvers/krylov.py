@@ -30,6 +30,22 @@ Array = Any
 Op = Callable[[Array], Array]
 
 
+def f32_inner_enabled() -> bool:
+    """f32 Krylov vectors on TPU block-RAS/Schwarz paths (opt-in via
+    PNP_TPU_KRYLOV32=1 pending the hardware e2e A/B — CLAUDE.md rule).
+
+    f64 vector ops are EMULATED on TPU: the L3 (185k-dof) profile
+    measured the f64 element-operator apply at 164 ms vs 21 ms for the
+    true-f32 operator, and RAS applies at 25.6 vs 7.3 ms
+    (tools/results_tpu_l3_profile_r4.log). Callers keep correctness via
+    f64-exact outer residuals (Poisson pass loop / Newton defects);
+    inner tolerances are >= 1e-5 where f32 norms carry ~1e-7 accuracy.
+    """
+    import os
+    return (os.environ.get("PNP_TPU_KRYLOV32") == "1"
+            and jax.default_backend() == "tpu")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KrylovResult:

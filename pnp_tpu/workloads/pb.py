@@ -92,11 +92,19 @@ def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
         op = A.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
         if ctx_ras is not None:
             from ..solvers import block_ras as BR
-            from ..solvers.krylov import bicgstab
+            from ..solvers.krylov import bicgstab, f32_inner_enabled
             M = BR.make_ras_precond(ctx_ras, factor, ctx.free)
-            res = bicgstab(op, ctx.constrain(r), jnp.zeros_like(r), M,
+            rs = ctx.constrain(r)
+            if f32_inner_enabled():
+                # Newton correction solve at >= min_linear_reduction
+                # (1e-3-ish): f32 vectors + the true-f32 element operator
+                # suffice; the f64 Newton defect outside keeps accuracy
+                rs = rs.astype(jnp.float32)
+                op = A.make_constrained_operator_mixed(
+                    A_el, ctx.dofmap, ctx.ndof, ctx.free)
+            res = bicgstab(op, rs, jnp.zeros_like(rs), M,
                            reduction, sys.linearSolverIterations)
-            return res.x, res.iterations
+            return res.x.astype(r.dtype), res.iterations
         res = krylov(op, ctx.constrain(r), jnp.zeros_like(r), factor,
                      reduction, A_el=A_el)
         return res.x, res.iterations
