@@ -189,7 +189,11 @@ def main():
             r = subprocess.run(
                 [sys.executable, "-u", me, "--scaled", str(levels),
                  str(n_meas)],
-                capture_output=True, text=True, timeout=3600)
+                capture_output=True, text=True,
+                # the 185k-node level pays ~all its wall time in the PB
+                # Newton bootstrap + remote compiles (r4 repro: ~55 min
+                # end-to-end before the f32-inner Krylov landed)
+                timeout=3600 if levels < 3 else 5800)
             line = [l for l in r.stdout.splitlines()
                     if l.startswith("SCALED-JSON:")]
             if not line:

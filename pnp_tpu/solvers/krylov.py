@@ -31,18 +31,20 @@ Op = Callable[[Array], Array]
 
 
 def f32_inner_enabled() -> bool:
-    """f32 Krylov vectors on TPU block-RAS/Schwarz paths (opt-in via
-    PNP_TPU_KRYLOV32=1 pending the hardware e2e A/B — CLAUDE.md rule).
+    """f32 Krylov vectors on TPU block-RAS/Schwarz paths (TPU DEFAULT
+    since r4; PNP_TPU_KRYLOV32=0 disables).
 
     f64 vector ops are EMULATED on TPU: the L3 (185k-dof) profile
     measured the f64 element-operator apply at 164 ms vs 21 ms for the
-    true-f32 operator, and RAS applies at 25.6 vs 7.3 ms
-    (tools/results_tpu_l3_profile_r4.log). Callers keep correctness via
+    true-f32 operator, RAS applies 25.6 vs 7.3 ms, and two-level
+    BiCGSTAB 159.8 -> 80.7 ms per iteration
+    (tools/results_tpu_l3_profile_r4.log); e2e at 11,839/46,653 nodes in
+    tools/results_tpu_scaled_e2e_r4.log. Callers keep correctness via
     f64-exact outer residuals (Poisson pass loop / Newton defects);
     inner tolerances are >= 1e-5 where f32 norms carry ~1e-7 accuracy.
     """
     import os
-    return (os.environ.get("PNP_TPU_KRYLOV32") == "1"
+    return (os.environ.get("PNP_TPU_KRYLOV32") != "0"
             and jax.default_backend() == "tpu")
 
 
@@ -56,11 +58,19 @@ class KrylovResult:
 
 
 def _norm(x):
-    return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    # f64 ACCUMULATION regardless of vector dtype: f32 reductions over
+    # 10^5-entry vectors carry enough cancellation error to stagnate the
+    # BiCGSTAB recurrence (measured: a cold 46k Poisson pass burned a
+    # 256-iteration budget with f32 dots). Products round in the vector
+    # dtype; only the sum runs f64; the scalar returns in vector dtype so
+    # the loop carry stays f32 on the f32-inner path.
+    s = jnp.sum((x * x).astype(jnp.float64), axis=-1, keepdims=True)
+    return jnp.sqrt(s).astype(x.dtype)
 
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=-1, keepdims=True)
+    return jnp.sum((a * b).astype(jnp.float64), axis=-1,
+                   keepdims=True).astype(a.dtype)
 
 
 def _nz(x):

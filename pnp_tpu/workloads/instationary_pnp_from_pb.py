@@ -188,15 +188,23 @@ def build_pnp_system(
         stage_residual_f32 = os.environ.get("PNP_TPU_STAGE_RES32") == "1"
     stage_residual_f32 = stage_residual_f32 and jax.default_backend() == "tpu"
     if krylov_f32_inner is None:
-        # f32 KRYLOV VECTORS on the block-RAS paths: r3 made the operator
-        # APPLIES f32 but left the BiCGSTAB recurrences/dots/axpys on
-        # f64-EMULATED vectors — the L3 profile measured the f64 op apply
-        # at 164 ms vs 21 ms f32 (tools/tpu_l3_profile.py). The 1e-10
-        # Poisson target is reached by f64-exact outer residuals between
-        # f32 passes (unchanged structure); stage solves are 1e-5 where
-        # f32 norms are ~1e-7-accurate. Opt-in pending the TPU e2e.
-        krylov_f32_inner = os.environ.get("PNP_TPU_KRYLOV32") == "1"
+        # f32 KRYLOV VECTORS on the block-RAS paths (TPU DEFAULT, r4):
+        # r3 made the operator APPLIES f32 but left the BiCGSTAB
+        # recurrences/dots/axpys on f64-EMULATED vectors — the L3 profile
+        # measured the f64 op apply at 164 ms vs 21 ms f32 and two-level
+        # per-iteration 159.8 -> 80.7 ms (results_tpu_l3_profile_r4.log).
+        # The 1e-10 Poisson target is reached by f64-exact outer
+        # residuals between f32 passes (residual-checked pass loop);
+        # stage solves are 1e-5 where f32 norms are ~1e-7-accurate.
+        # Hardware e2e: tools/results_tpu_scaled_e2e_r4.log (L1 fused
+        # 166 ms, L2 981 ms, iteration counts unchanged vs r3, 6 finite
+        # steps each). PNP_TPU_KRYLOV32=0 disables.
+        krylov_f32_inner = os.environ.get("PNP_TPU_KRYLOV32") != "0"
+    # f32 vectors only ever pair with the true-f32 (mixed) operator — an
+    # f64 operator would silently promote each SpMV and downcast on the
+    # scatter (observed as a FutureWarning in the r4 baseline A/B)
     krylov_f32_inner = (krylov_f32_inner and use_block_ras
+                        and mixed_precision
                         and jax.default_backend() == "tpu")
 
     # ---- Phase A: PB bootstrap ------------------------------------------
@@ -768,8 +776,16 @@ def build_pnp_system(
             from ..solvers import block_ras as BR
             from ..solvers.krylov import bicgstab
             inv_p, p1_p = phi_pre_
-            M_ras = BR.make_two_level_precond(ctx_ras, inv_p, None, op_phi,
-                                              ctx_phi.free, p1_coarse=p1_p)
+            op_mx = FA.make_constrained_operator_mixed(
+                A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
+            # the preconditioner's internal residual op must match the
+            # pass-vector dtype: an f64 op inside the two-level closure
+            # silently promoted the f32 inner-Krylov carry (caught by the
+            # r4 mixed A/B); preconditioner quality only needs f32
+            M_ras = BR.make_two_level_precond(
+                ctx_ras, inv_p, None,
+                op_mx if mixed_precision else op_phi,
+                ctx_phi.free, p1_coarse=p1_p)
             if mixed_precision:
                 # f32-operator passes at 1e-5 with exact f64 residuals
                 # between them (mixed-precision iterative refinement).
@@ -778,34 +794,53 @@ def build_pnp_system(
                 # (bounded) — mandatory once krylov_f32_inner also drops
                 # the pass VECTORS to f32 (each pass's true reduction
                 # then has an f32 floor; extra passes recover it).
-                op_mx = FA.make_constrained_operator_mixed(
-                    A_phi_el, vt_phi.dofmap, ndof, ctx_phi.free)
+
+                # POISSON PASSES KEEP f64 VECTORS: the r4 A/B measured
+                # f32-vector BiCGSTAB stagnating on the cold 46k Poisson
+                # (2824 its vs 23 with f64 vectors, even with
+                # f64-accumulated dots and outer restarts) — the
+                # two-level-preconditioned elliptic solve is where the
+                # f32 recurrence breaks; the advective stage solves and
+                # PB Newton corrections (10-22 its) run f32 fine. The
+                # capped pass budget + f64-residual restarts stay: they
+                # bound any stagnating pass.
+                # 128 so even a fully stalled pass pair (the
+                # noise-floor re-solve case) stays well under the ~100 s
+                # device watchdog at L3 iteration costs
+                pass_cap = min(int(sys.linearSolverIterations), 128)
 
                 def _pass(rhs):
-                    rs = (rhs.astype(jnp.float32) if krylov_f32_inner
-                          else rhs)
-                    res = bicgstab(op_mx, rs, jnp.zeros_like(rs), M_ras,
-                                   1e-5, sys.linearSolverIterations)
-                    return res.x.astype(rhs.dtype), res.iterations
+                    res = bicgstab(op_mx, rhs, jnp.zeros_like(rhs), M_ras,
+                                   1e-5, pass_cap)
+                    return res.x, res.iterations
 
-                tol10 = 1e-10 * jnp.linalg.norm(r)
+                norm_r = jnp.linalg.norm(r)
+                tol10 = 1e-10 * norm_r
 
                 def p_cond(state):
-                    _, rk, _, p = state
+                    _, rk, _, p, nk_prev = state
                     nk = jnp.linalg.norm(rk)
-                    return (jnp.isfinite(nk) & (nk > tol10)) & (p < 6)
+                    # progress exit: a pass that fails to cut the true
+                    # residual (e.g. re-solving an already-converged
+                    # system, where tol10 sits below the noise floor)
+                    # must NOT spin — an unbounded pass loop ran minutes
+                    # and tripped the TPU watchdog (r4 device fault,
+                    # tools/ab_mixed logs)
+                    return (jnp.isfinite(nk) & (nk > tol10)
+                            & (nk <= 0.5 * nk_prev) & (p < 8))
 
                 def p_body(state):
-                    x, rk, k, p = state
+                    x, rk, k, p, _ = state
+                    nk_prev = jnp.linalg.norm(rk)
                     xp, kp = _pass(rk)
                     x = x + xp
                     rk = ctx_phi.constrain(r - op_phi(x))
-                    return x, rk, k + kp, p + 1
+                    return x, rk, k + kp, p + 1, nk_prev
 
                 x1, k1 = _pass(r)
                 r1 = ctx_phi.constrain(r - op_phi(x1))
-                x, _, k, _ = jax.lax.while_loop(
-                    p_cond, p_body, (x1, r1, k1, jnp.int32(1)))
+                x, _, k, _, _ = jax.lax.while_loop(
+                    p_cond, p_body, (x1, r1, k1, jnp.int32(1), norm_r))
                 return uphi_ - x, k
             res = bicgstab(op_phi, r, jnp.zeros_like(r), M_ras, 1e-10,
                            sys.linearSolverIterations)
