@@ -181,10 +181,13 @@ def build_pnp_system(
         species_two_level = os.environ.get("PNP_TPU_SPECIES_2L") == "1"
     species_two_level = species_two_level and use_block_ras
     if stage_residual_f32 is None:
-        # stage (1e-5) refinement residuals via the true-f32 element
-        # operator instead of f64-EMULATED SpMV — opt-in pending the TPU
-        # e2e A/B (CLAUDE.md rule: TPU-only switches need hardware
-        # evidence in the same commit that defaults them)
+        # stage refinement residuals via the true-f32 element operator:
+        # DECLINED by the r4 hardware A/B
+        # (tools/results_tpu_res32_ab_r4.log) — no step-time win (50.5
+        # -> 49.8 ms), refinement counts 4 -> 42, and the trajectory
+        # left the stage-slack budget by 4 decades: the advective stage
+        # refinement NEEDS f64-exact residuals. Kept as an explicit
+        # opt-in for diffusion-dominated regimes only.
         stage_residual_f32 = os.environ.get("PNP_TPU_STAGE_RES32") == "1"
     stage_residual_f32 = stage_residual_f32 and jax.default_backend() == "tpu"
     if krylov_f32_inner is None:
