@@ -1,0 +1,126 @@
+"""L3 Poisson-solve optimization experiments.
+
+After r4's solver work the 185k-node step is 13.5 s with poisson at
+8.3 s / 48 iterations (BENCH r4 L3 phases) — the dominant phase. This
+measures, on the real L3 Poisson operator, the iteration count and wall
+time to a true-f64 1e-10 solve for:
+
+  A. block 256 two-level RAS + capped 1e-5 pass loop (shipping);
+  B. block 512 two-level RAS + the same loop (stronger local solves —
+     half the subdomains, 4x the local work per block, MXU food);
+  C. block 256, one deep pass at 1e-7 + cleanup passes (restart costs
+     Krylov space; fewer, deeper passes may beat two 1e-5 passes).
+
+pb_field is not needed: the Poisson operator is constant and the rhs is
+synthetic-but-constrained; iteration counts on a random rhs track the
+production ones (same spectrum).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(levels=3):
+    from pnp_tpu.config import read_config
+    from pnp_tpu.fem.space import FunctionSpace
+    from pnp_tpu.fem import assembly as FA
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.meshio.refine import refine_uniform
+    from pnp_tpu.workloads.common import make_scalar_context
+    from pnp_tpu.operators import volume as V
+    from pnp_tpu.solvers import block_ras as BR
+    from pnp_tpu.solvers.krylov import bicgstab
+
+    assert jax.default_backend() == "tpu"
+    cfg = read_config("/root/reference/test/pore_pnp/pore.cfg")
+    mesh = refine_uniform(read_gmsh(cfg.meshfile), levels)
+    space = FunctionSpace(mesh, 1)
+    ndof = space.ndof
+    print(f"ndof={ndof}", flush=True)
+    ctx_phi = make_scalar_context(cfg, space, component=0, quad_order=3)
+    vt = ctx_phi.vt
+    free = ctx_phi.free
+    A_el = jax.jit(lambda: V.poisson_jacobian_el(vt, cfg.cylindrical,
+                                                 cfg.pi))()
+    jax.block_until_ready(A_el)
+    op64 = FA.make_constrained_operator(A_el, vt.dofmap, ndof, free)
+    op32 = FA.make_constrained_operator_mixed(A_el, vt.dofmap, ndof, free)
+    r = jnp.where(free, jnp.sin(jnp.arange(ndof) * 0.7)
+                  + 0.3 * jnp.sin(jnp.arange(ndof) * 13.1), 0.0)
+
+    def solve_passes(inv, p1, rr, inner_red, pass_cap, label):
+        M = BR.make_two_level_precond(ctx_ras, inv, None, op32, free,
+                                      p1_coarse=p1)
+
+        @jax.jit
+        def run(iv, pp, rhs):
+            Mi = BR.make_two_level_precond(ctx_ras, iv, None, op32, free,
+                                           p1_coarse=pp)
+            norm_r = jnp.linalg.norm(rhs)
+            tol10 = 1e-10 * norm_r
+
+            def _pass(rk):
+                res = bicgstab(op32, rk, jnp.zeros_like(rk), Mi,
+                               inner_red, pass_cap)
+                return res.x, res.iterations
+
+            def p_cond(state):
+                _, rk, _, p, nk_prev = state
+                nk = jnp.linalg.norm(rk)
+                return (jnp.isfinite(nk) & (nk > tol10)
+                        & (nk <= 0.5 * nk_prev) & (p < 8))
+
+            def p_body(state):
+                x, rk, k, p, _ = state
+                nk_prev = jnp.linalg.norm(rk)
+                xp, kp = _pass(rk)
+                x = x + xp
+                rk = jnp.where(free, rhs - op64(x), 0.0)
+                return x, rk, k + kp, p + 1, nk_prev
+
+            x1, k1 = _pass(rhs)
+            r1 = jnp.where(free, rhs - op64(x1), 0.0)
+            x, rk, k, p, _ = jax.lax.while_loop(
+                p_cond, p_body, (x1, r1, k1, jnp.int32(1), norm_r))
+            return x, k, p
+
+        x, k, p = run(inv, p1, rr)          # compile+run
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        x, k, p = run(inv, p1, rr)
+        jax.block_until_ready(x)
+        ms = (time.perf_counter() - t0) * 1e3
+        true_rel = float(jnp.linalg.norm(jnp.where(free, rr - op64(x), 0.0))
+                         / jnp.linalg.norm(rr))
+        print(f"  [{label}] {ms:.0f} ms | {int(k)} its / {int(p)} passes "
+              f"| true relres {true_rel:.1e}", flush=True)
+
+    for bs in (256, 512):
+        ctx_ras = BR.build_block_context_for_space(space, bs)
+        print(f"block_size={bs}: K={ctx_ras.K} L={ctx_ras.L}", flush=True)
+
+        @jax.jit
+        def setup(a):
+            inv = BR.build_local_inverses(ctx_ras, a, free)
+            p1 = BR.build_p1_coarse(ctx_ras, a, vt.dofmap, free,
+                                    space.dof_coords)
+            return inv, p1
+
+        t0 = time.perf_counter()
+        inv, p1 = setup(A_el)
+        jax.block_until_ready(inv)
+        print(f"  setup(+compile): {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        solve_passes(inv, p1, r, 1e-5, 128, f"b{bs} 1e-5 passes")
+        solve_passes(inv, p1, r, 1e-7, 192, f"b{bs} 1e-7 deep pass")
+    print("L3-POISSON-OPT-OK", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
