@@ -176,9 +176,17 @@ def build_pnp_system(
         mixed_precision = (use_block_ras
                            and jax.default_backend() == "tpu")
     if species_two_level is None:
-        # opt-in pending TPU profile evidence (CLAUDE.md rule); flips to a
-        # size-gated default once the scaled e2e records the win
-        species_two_level = os.environ.get("PNP_TPU_SPECIES_2L") == "1"
+        # TPU default ABOVE 16k dofs (r4): the r3 device fault was
+        # root-caused to the monolithic batched p1-coarse assembly and
+        # fixed by element-chunked partial sums; the 16-step hardware
+        # e2e at 46,653 nodes runs finite with species its 22 -> 14 and
+        # steady step ~1088 vs ~1460 ms one-level
+        # (tools/results_tpu_two_level_e2e_r4.log). Below 16k the coarse
+        # showed no iteration win (r3); PNP_TPU_SPECIES_2L=0/1 overrides.
+        env = os.environ.get("PNP_TPU_SPECIES_2L")
+        species_two_level = (env == "1" or (
+            env != "0" and space.ndof > 16384
+            and jax.default_backend() == "tpu"))
     species_two_level = species_two_level and use_block_ras
     if stage_residual_f32 is None:
         # stage refinement residuals via the true-f32 element operator:
