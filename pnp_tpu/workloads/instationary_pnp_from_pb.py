@@ -176,17 +176,16 @@ def build_pnp_system(
         mixed_precision = (use_block_ras
                            and jax.default_backend() == "tpu")
     if species_two_level is None:
-        # TPU default ABOVE 16k dofs (r4): the r3 device fault was
+        # OPT-IN (r4 verdict: mixed evidence). The r3 device fault was
         # root-caused to the monolithic batched p1-coarse assembly and
         # fixed by element-chunked partial sums; the 16-step hardware
-        # e2e at 46,653 nodes runs finite with species its 22 -> 14 and
-        # steady step ~1088 vs ~1460 ms one-level
-        # (tools/results_tpu_two_level_e2e_r4.log). Below 16k the coarse
-        # showed no iteration win (r3); PNP_TPU_SPECIES_2L=0/1 overrides.
-        env = os.environ.get("PNP_TPU_SPECIES_2L")
-        species_two_level = (env == "1" or (
-            env != "0" and space.ndof > 16384
-            and jax.default_backend() == "tpu"))
+        # e2e at 46,653 nodes runs finite with species its 22 -> 14
+        # (tools/results_tpu_two_level_e2e_r4.log) — but the bench-state
+        # A/B shows the iteration cut does not pay for the two extra
+        # operator applies per preconditioner application (species
+        # 898 ms/17 its two-level vs 766 ms/22 its one-level), so
+        # one-level RAS stays the species default at every size.
+        species_two_level = os.environ.get("PNP_TPU_SPECIES_2L") == "1"
     species_two_level = species_two_level and use_block_ras
     if stage_residual_f32 is None:
         # stage refinement residuals via the true-f32 element operator:
