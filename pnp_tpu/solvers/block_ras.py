@@ -57,6 +57,14 @@ def morton_order(points: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+def _ranges_concat(counts: np.ndarray) -> np.ndarray:
+    """[0..c0) ++ [0..c1) ++ ... as one vectorized array."""
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
 @dataclasses.dataclass(frozen=True)
 class BlockContext:
     """Static host-built block decomposition of a FunctionSpace.
@@ -98,32 +106,57 @@ def build_block_context(dofmap: np.ndarray, ndof: int,
         owner[perm[bounds[k]:bounds[k + 1]]] = k
 
     eowner = owner[dofmap]                              # (E, n)
+    E_ids = np.arange(E, dtype=np.int64)
     # pass 1 — local dof sets: owned dofs + every dof sharing an element
-    # with them (one-element-layer overlap)
-    seed_lists = [[] for _ in range(K)]
-    for k_col in range(n):
-        for e, k in enumerate(eowner[:, k_col]):
-            seed_lists[k].append(e)
-    seed_lists = [np.unique(np.array(l, np.int64)) for l in seed_lists]
+    # with them (one-element-layer overlap). Vectorized group-by (the r3
+    # per-entry python loop was ~5 min at the 1.47M-element level 4):
+    # sort (block, element) pairs once, slice per block.
+    pk = eowner.ravel().astype(np.int64)
+    pe = np.repeat(E_ids, n)
+    order = np.argsort(pk, kind="stable")
+    pk_s, pe_s = pk[order], pe[order]
+    k_starts = np.searchsorted(pk_s, np.arange(K))
+    k_ends = np.searchsorted(pk_s, np.arange(K) + 1)
 
     own_lists = [perm[bounds[k]:bounds[k + 1]] for k in range(K)]
     loc_lists, extra_counts = [], []
-    in_loc = np.zeros((K, ndof), bool)
     for k in range(K):
-        touched = np.unique(dofmap[seed_lists[k]])
+        touched = np.unique(dofmap[pe_s[k_starts[k]:k_ends[k]]])
         own_set = own_lists[k]
         extra = np.setdiff1d(touched, own_set, assume_unique=False)
         loc_lists.append(np.concatenate([own_set, extra]))
         extra_counts.append(len(extra))
-        in_loc[k, loc_lists[k]] = True
 
     # pass 2 — assembly element lists: EVERY element touching any local
     # dof, so the assembled A[loc, loc] is the true principal submatrix
     # (without this, overlap-dof rows are partial "floating Neumann" rows,
-    # the local matrices go near-singular, and RAS diverges)
-    elem_lists = [
-        np.where(in_loc[k][dofmap].any(axis=1))[0] for k in range(K)
-    ]
+    # the local matrices go near-singular, and RAS diverges).
+    # Vectorized as a dof->blocks membership join (the r3 K x E x n
+    # boolean sweep was O(2.5e10) ops at level 4): memberships from the
+    # local sets, CSR over dofs, gathered per element dof, then unique
+    # (block, element) pairs grouped per block — same ascending element
+    # order as the old np.where.
+    mem_d = np.concatenate(loc_lists)
+    mem_k = np.repeat(np.arange(K, dtype=np.int64),
+                      [len(l) for l in loc_lists])
+    d_order = np.argsort(mem_d, kind="stable")
+    mem_d_s, mem_k_s = mem_d[d_order], mem_k[d_order]
+    d_starts = np.searchsorted(mem_d_s, np.arange(ndof))
+    d_ends = np.searchsorted(mem_d_s, np.arange(ndof) + 1)
+    d_counts = d_ends - d_starts
+    flat_d = dofmap.ravel().astype(np.int64)            # (E*n,)
+    cnt = d_counts[flat_d]
+    # for each (element-dof occurrence, membership) pair: block id + elem
+    gather_ix = (np.repeat(d_starts[flat_d], cnt)
+                 + _ranges_concat(cnt))
+    pair_k = mem_k_s[gather_ix]
+    pair_e = np.repeat(np.repeat(E_ids, n), cnt)
+    key = pair_k * np.int64(E) + pair_e
+    key = np.unique(key)
+    ek, ee = key // E, key % E
+    e_starts = np.searchsorted(ek, np.arange(K))
+    e_ends = np.searchsorted(ek, np.arange(K) + 1)
+    elem_lists = [ee[e_starts[k]:e_ends[k]] for k in range(K)]
 
     B = max(len(l) for l in own_lists)
     L = max(B + max(extra_counts), 1)
