@@ -298,23 +298,30 @@ def make_ras_precond(ctx: BlockContext, inv: Array, free: Array,
 
 
 def build_p1_coarse(ctx: BlockContext, A_el: Array, dofmap: Array,
-                    free: Array, dof_coords: np.ndarray):
-    """Piecewise-LINEAR coarse level: span{1, x, y} per block.
+                    free: Array, dof_coords: np.ndarray, n_modes: int = 3):
+    """Piecewise-POLYNOMIAL coarse level: span{1, x, y[, P2...]} per block.
 
-    Three coarse dofs per block (constant + both linear modes, in
-    block-centered/scaled coordinates for conditioning) triple the coarse
-    space of :func:`build_coarse_inverse` and capture the smooth error's
-    gradient within each patch — measured to roughly halve two-level
-    iteration counts on the constant Poisson operator vs the piecewise-
-    constant space. Galerkin coarse matrix assembled from element blocks
-    as one 2-D scatter of (E, 3n, 3n) weighted blocks.
+    ``n_modes=3`` (default): constant + both linear modes, in
+    block-centered/scaled coordinates for conditioning — triples the
+    coarse space of :func:`build_coarse_inverse` and captures the smooth
+    error's gradient within each patch; measured to roughly halve
+    two-level iteration counts on the constant Poisson operator vs the
+    piecewise-constant space. ``n_modes=6`` adds the quadratic modes
+    {P2(x), xy, P2(y)} (Legendre P2 = (3t^2-1)/2 on the span-scaled
+    coords, near-orthogonal to the constant on quasi-uniform blocks) —
+    the r4-roadmap "stronger coarse" candidate for the level-3 Poisson
+    where the solve runs ~48 iterations/step. Galerkin coarse matrix
+    assembled from element blocks as one 2-D scatter of (E, Mn, Mn)
+    weighted blocks.
 
-    Returns ``(coarse_inv (3K, 3K) f32, w3 (ndof, 3), idx3 (ndof, 3))``
+    Returns ``(coarse_inv (MK, MK) f32, w3 (ndof, M), idx3 (ndof, M))``
     for :func:`make_two_level_precond`'s linear-coarse mode. Only the
     flat (single-system) form is supported — the production user is the
     CONSTANT Poisson operator, factored once at setup.
     """
     assert A_el.ndim == 3, "linear coarse: flat systems only"
+    assert n_modes in (3, 6), n_modes
+    M = n_modes
     K = ctx.K
     ndof = ctx.ndof
     owner = np.asarray(ctx.owner)
@@ -329,20 +336,24 @@ def build_p1_coarse(ctx: BlockContext, A_el: Array, dofmap: Array,
     np.maximum.at(span, owner, np.abs(coords - cent[owner]))
     span = np.maximum(span, 1e-12)
     xs = (coords - cent[owner]) / span[owner]           # (ndof, 2)
-    w3_np = np.concatenate([np.ones((ndof, 1)), xs], axis=1)  # (ndof, 3)
+    cols = [np.ones((ndof, 1)), xs]
+    if M == 6:
+        p2 = 0.5 * (3.0 * xs * xs - 1.0)                # Legendre P2
+        cols += [p2[:, :1], (xs[:, :1] * xs[:, 1:]), p2[:, 1:]]
+    w3_np = np.concatenate(cols, axis=1)                # (ndof, M)
     free_np = np.asarray(free)
     w3_np = w3_np * free_np[:, None]
-    # coarse dof index of (dof, mode); constrained dofs -> drop row 3K
-    idx3_np = np.where(free_np[:, None], owner[:, None] * 3 + np.arange(3),
-                       3 * K)
+    # coarse dof index of (dof, mode); constrained dofs -> drop row MK
+    idx3_np = np.where(free_np[:, None], owner[:, None] * M + np.arange(M),
+                       M * K)
 
     dofmap_np = np.asarray(dofmap)
-    w_el = jnp.asarray(w3_np)[dofmap_np].astype(jnp.float32)   # (E, n, 3)
-    ei = jnp.asarray(idx3_np)[dofmap_np]                       # (E, n, 3)
+    w_el = jnp.asarray(w3_np)[dofmap_np].astype(jnp.float32)   # (E, n, M)
+    ei = jnp.asarray(idx3_np)[dofmap_np]                       # (E, n, M)
     E, n = dofmap_np.shape
 
     # element-chunked Galerkin assembly (VERDICT r3 item 1 family): the
-    # (E, n, 3, n, 3) einsum product is tiny-minor-dim and its fused
+    # (E, n, M, n, M) einsum product is tiny-minor-dim and its fused
     # scatter remat-copies lane-pad ~100x — at the 367k-element level-3
     # mesh that alone OOMs HBM at compile; chunking bounds the temps.
     # Pad elements: zero A/w values scatter zeros at index 0 — harmless.
@@ -351,12 +362,12 @@ def build_p1_coarse(ctx: BlockContext, A_el: Array, dofmap: Array,
     def _chunk(A_c, w_c, e_c):
         Aw = jnp.einsum("eij,eia,ejb->eiajb", A_c.astype(jnp.float32),
                         w_c, w_c, precision=jax.lax.Precision.HIGHEST)
-        rows = e_c.reshape(e_c.shape[0], n * 3)
-        return jnp.zeros((3 * K + 1, 3 * K + 1), jnp.float32).at[
+        rows = e_c.reshape(e_c.shape[0], n * M)
+        return jnp.zeros((M * K + 1, M * K + 1), jnp.float32).at[
             rows[:, :, None], rows[:, None, :]].add(
-                Aw.reshape(e_c.shape[0], n * 3, n * 3))
+                Aw.reshape(e_c.shape[0], n * M, n * M))
 
-    Ac = map_element_chunk_sum(_chunk, (A_el, w_el, ei))[:3 * K, :3 * K]
+    Ac = map_element_chunk_sum(_chunk, (A_el, w_el, ei))[:M * K, :M * K]
     # regularize: empty/degenerate modes (e.g. all-Dirichlet blocks, or
     # blocks whose free dofs are collinear) -> identity-ish rows
     d = jnp.diagonal(Ac)
@@ -458,12 +469,13 @@ def make_p1_coarse_correction(ctx: BlockContext, p1_coarse, free: Array):
     cinv, w3, idx3 = p1_coarse
     K3 = cinv.shape[-1]
     K = ctx.K
+    M = w3.shape[-1]                                    # modes per block
     batched_tables = w3.ndim == 3
     own = ctx.loc2glob[:, :ctx.B]                       # (K, B), pad = ndof
-    # per-owned-slot mode weights, (S?, K, B, 3); pad slots read 0
+    # per-owned-slot mode weights, (S?, K, B, M); pad slots read 0
     w_ext = jnp.concatenate(
-        [w3, jnp.zeros(w3.shape[:-2] + (1, 3), w3.dtype)], axis=-2)
-    w_own = w_ext[..., own, :]                          # (S?, K, B, 3)
+        [w3, jnp.zeros(w3.shape[:-2] + (1, M), w3.dtype)], axis=-2)
+    w_own = w_ext[..., own, :]                          # (S?, K, B, M)
 
     def coarse(r: Array) -> Array:
         rb = r[None] if r.ndim == 1 else r
@@ -479,13 +491,13 @@ def make_p1_coarse_correction(ctx: BlockContext, p1_coarse, free: Array):
             [rb, jnp.zeros((S, 1), rb.dtype)], axis=1)
         r_own = rb_ext[:, own]                          # (S, K, B)
         rc = jnp.einsum("skb,skbm->skm", r_own, jnp.broadcast_to(
-            wo, (S, K, ctx.B, 3))).reshape(S, K3)
+            wo, (S, K, ctx.B, M))).reshape(S, K3)
         ci = cinv if cinv.ndim == 3 else cinv[None]
         zc = jnp.einsum("skj,sj->sk",
                         jnp.broadcast_to(ci, (S, K3, K3)).astype(rb.dtype),
                         rc, precision=jax.lax.Precision.HIGHEST)
-        z_own = jnp.einsum("skm,skbm->skb", zc.reshape(S, K, 3),
-                           jnp.broadcast_to(wo, (S, K, ctx.B, 3)))
+        z_own = jnp.einsum("skm,skbm->skb", zc.reshape(S, K, M),
+                           jnp.broadcast_to(wo, (S, K, ctx.B, M)))
         # owned slots partition the dofs -> unique-index set (pad drops)
         z = jnp.zeros((S, ctx.ndof), rb.dtype).at[
             :, own.reshape(-1)].set(z_own.reshape(S, -1), mode="drop")

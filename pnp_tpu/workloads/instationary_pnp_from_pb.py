@@ -463,6 +463,11 @@ def build_pnp_system(
         # request-body limit (HTTP 413).
         from ..solvers import block_ras as BR
 
+        # coarse richness: 3 linear modes/block by default; 6 adds the
+        # quadratic modes (PNP_TPU_P1_COARSE_MODES=6) — the r4-roadmap
+        # candidate for the L3 Poisson's 48-iteration solves
+        _coarse_modes = int(os.environ.get("PNP_TPU_P1_COARSE_MODES", "3"))
+
         @jax.jit  # one program: every eager op pays a TPU compile round-trip
         def _ras_phi_setup(A_el_):
             inv = BR.build_local_inverses(ctx_ras, A_el_, ctx_phi.free)
@@ -470,7 +475,8 @@ def build_pnp_system(
             # operator (factored once; ~halves two-level iterations vs
             # the piecewise-constant space)
             p1 = BR.build_p1_coarse(ctx_ras, A_el_, vt_phi.dofmap,
-                                    ctx_phi.free, space.dof_coords)
+                                    ctx_phi.free, space.dof_coords,
+                                    n_modes=_coarse_modes)
             return inv, p1
 
         ras_phi_pre = _ras_phi_setup(A_phi_el)

@@ -126,6 +126,28 @@ def test_ras_advective_and_batched(laplace_problem):
     assert np.allclose(np.asarray(r0.x), np.asarray(res.x[0]), atol=1e-7)
 
 
+def test_p1_coarse_quadratic_modes(laplace_problem):
+    """6-mode (quadratic) per-block coarse space: correct solves and an
+    iteration count no worse than the 3-mode linear coarse on the
+    elliptic operator (the r4-roadmap 'stronger coarse' candidate for
+    the L3 Poisson's 48-iteration solves)."""
+    space, vt, A_el, free, op, b = laplace_problem
+    ctx = BR.build_block_context_for_space(space, block_size=128)
+    inv = BR.build_local_inverses(ctx, A_el, free)
+    its = {}
+    for m in (3, 6):
+        p1 = BR.build_p1_coarse(ctx, A_el, vt.dofmap, free,
+                                space.dof_coords, n_modes=m)
+        assert p1[0].shape == (m * ctx.K, m * ctx.K)
+        M2 = BR.make_two_level_precond(ctx, inv, None, op, free, p1_coarse=p1)
+        res = bicgstab(op, b, jnp.zeros(space.ndof), M2, 1e-10, 2000)
+        assert bool(res.converged)
+        tr = float(jnp.linalg.norm(b - op(res.x)) / jnp.linalg.norm(b))
+        assert tr < 1e-9
+        its[m] = int(res.iterations)
+    assert its[6] <= its[3]
+
+
 def test_symmetric_variant_with_cg(laplace_problem):
     """restricted=False (symmetric additive Schwarz) keeps CG convergent."""
     space, vt, A_el, free, op, b = laplace_problem
