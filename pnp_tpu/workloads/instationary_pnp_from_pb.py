@@ -276,7 +276,15 @@ def build_pnp_system(
     # pays a compile round-trip per eager op — fuse the whole setup)
     from ..solvers.precond import estimate_dinv_spectral_radius
 
-    @jax.jit
+    # huge meshes (level 4+, >= 600k elements): every program capturing
+    # the element tables must HOIST them to runtime arguments — the
+    # remote compiler ships closure constants in the compile request and
+    # this _setup alone captures ~1.2 GB of order-2/3/5 tables at the
+    # 1.47M-element level-4 pore (HTTP 413, utils/hoist.py)
+    from ..utils.hoist import select_jit
+    _jit = select_jit(vt2.num_elements)
+
+    @_jit
     def _setup(uphi_init):
         M = V.mass_jacobian_el(vt5, 1.0, False, pi)   # planar (ref behavior)
         A_phi = V.poisson_jacobian_el(vt_phi, sys.cylindrical, pi)
@@ -468,7 +476,7 @@ def build_pnp_system(
         # candidate for the L3 Poisson's 48-iteration solves
         _coarse_modes = int(os.environ.get("PNP_TPU_P1_COARSE_MODES", "3"))
 
-        @jax.jit  # one program: every eager op pays a TPU compile round-trip
+        @_jit  # one program: every eager op pays a TPU compile round-trip
         def _ras_phi_setup(A_el_):
             inv = BR.build_local_inverses(ctx_ras, A_el_, ctx_phi.free)
             # piecewise-LINEAR coarse space for the constant Poisson
@@ -870,8 +878,7 @@ def build_pnp_system(
         uphi_, _ = _poisson_solve(uphi_, ucp_, ucm_, phi_pre_)
         return uphi_, ucp_, ucm_
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def _scan_steps_j(state, n_steps: int, phi_pre_=None):
+    def _scan_steps_impl(state, phi_pre_, n_steps: int):
         """n_steps fused steps as one lax.scan (potentialUpdateFreq == 1)."""
 
         def body(carry, _):
@@ -880,12 +887,22 @@ def build_pnp_system(
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
+    # the step count is a static argument; the hoisted-jit wrapper takes
+    # array pytrees only, so bind it per count instead of static_argnums
+    _scan_progs = {}
+
+    def _scan_steps_j(state, n_steps: int, phi_pre_=None):
+        if n_steps not in _scan_progs:
+            _scan_progs[n_steps] = _jit(functools.partial(
+                _scan_steps_impl, n_steps=n_steps))
+        return _scan_progs[n_steps](state, phi_pre_)
+
     # public wrappers keep the (uphi, ucp, ucm) signatures and pass the
     # (possibly None) Poisson setup pytree as a runtime argument each call
     phi_pre = (dense_phi_pre if dense_phi_pre is not None else
                phi_inv if phi_inv is not None else ras_phi_pre)
-    _ps_j = jax.jit(_poisson_solve)
-    _fs_j = jax.jit(_fused_step)
+    _ps_j = _jit(_poisson_solve)
+    _fs_j = _jit(_fused_step)
 
     def _make_fused_reuse(step_fn):
         def f(factor, uphi_, ucp_, ucm_, phi_pre_=None):
@@ -930,16 +947,16 @@ def build_pnp_system(
 
         _factor_kind = "ras"
     elif use_ras_factor:
-        _factor_pub = jax.jit(_species_factor_ras)
-        _ssr_pub = jax.jit(_species_step_reuse_ras)
-        _fsr_r = jax.jit(_make_fused_reuse(_species_step_reuse_ras))
+        _factor_pub = _jit(_species_factor_ras)
+        _ssr_pub = _jit(_species_step_reuse_ras)
+        _fsr_r = _jit(_make_fused_reuse(_species_step_reuse_ras))
         _fsr_pub = lambda f, u, cp, cm: _fsr_r(f, u, cp, cm, phi_pre)
         _factor_kind = "ras"
 
     return PnpSystem(
         sys=sys, space=space, pb=pb, pb_newton_iterations=pb_iters,
         uphi0=uphi0, ucp0=ucp0, ucm0=ucm0,
-        species_step=jax.jit(_species_step),
+        species_step=_jit(_species_step),
         poisson_solve=lambda u, cp, cm: _ps_j(u, cp, cm, phi_pre),
         fused_step=lambda u, cp, cm: _fs_j(u, cp, cm, phi_pre),
         scan_steps=lambda state, n: _scan_steps_j(state, n, phi_pre),

@@ -30,8 +30,13 @@ from .common import ScalarContext, make_scalar_context
 
 def make_pb_residual(ctx: ScalarContext):
     sys = ctx.sys
+    # huge meshes: the order-3 tables captured here are ~400 MB at the
+    # 1.47M-element level-4 pore — hoisted to runtime arguments so the
+    # remote-compile request stays under its body-size limit (utils/hoist)
+    from ..utils.hoist import select_jit
+    _jit = select_jit(ctx.vt.num_elements)
 
-    @jax.jit
+    @_jit
     def residual(u):
         ue = u[ctx.dofmap]
         r_el = V.pb_residual_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical, sys.pi)
@@ -65,13 +70,18 @@ def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
         from ..solvers import block_ras as BR
         ctx_ras = BR.build_block_context_for_space(ctx.space, ras_block_size)
 
-    @jax.jit
+    # huge meshes: hoist the captured element tables out of the compile
+    # request (see make_pb_residual)
+    from ..utils.hoist import select_jit
+    _jit = select_jit(ctx.vt.num_elements)
+
+    @_jit
     def _jac(u):
         ue = u[ctx.dofmap]
         return V.pb_jacobian_el(ue, ctx.vt, sys.l_b, sys.c0, sys.cylindrical,
                                 sys.pi)
 
-    @jax.jit
+    @_jit
     def _factor(A_el):
         if ctx_ras is not None:
             from ..solvers import block_ras as BR
@@ -86,7 +96,7 @@ def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
         A_el = _jac(u)
         return A_el, _factor(A_el)
 
-    @jax.jit
+    @_jit
     def solve(jac_ctx, r, reduction):
         A_el, factor = jac_ctx
         op = A.make_constrained_operator(A_el, ctx.dofmap, ctx.ndof, ctx.free)
