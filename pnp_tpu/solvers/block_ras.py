@@ -202,15 +202,16 @@ def _gather_padded(ctx: BlockContext, x: Array) -> Array:
     return x_ext[..., ctx.loc2glob]
 
 
-def build_local_inverses(ctx: BlockContext, A_el: Array, free: Array,
-                         rel_shift: float = 0.0) -> Array:
-    """Batched f32 inverses of the constrained local matrices.
+def assemble_local_matrices(ctx: BlockContext, A_el: Array, free: Array,
+                            rel_shift: float = 0.0) -> Array:
+    """Constrained local (subdomain) matrices, (K, L, L)/(S, K, L, L) f32.
 
-    A_el: (E, n, n) or (S, E, n, n) element Jacobian blocks (f64 ok — cast
-    to f32 before the scatter: the result only preconditions).
-    free: (ndof,) / (S, ndof) boolean (False = Dirichlet).
-    Returns (K, L, L) / (S, K, L, L) f32 inverses with identity on
-    constrained/padded slots.
+    The assembly half of :func:`build_local_inverses`, exposed so huge
+    meshes can run assembly and inversion as SEPARATE programs: fused,
+    the level-4 pore's (2883, 403, 403) factor program
+    RESOURCE_EXHAUSTED at run while each half fits comfortably
+    (tools/l4_factor_bisect.log) — XLA's buffer assignment for the
+    combined program keeps both halves' peaks alive at once.
     """
     squeeze = A_el.ndim == 3
     if squeeze:

@@ -101,24 +101,30 @@ def main(levels=3):
         print(f"  [{label}] {ms:.0f} ms | {int(k)} its / {int(p)} passes "
               f"| true relres {true_rel:.1e}", flush=True)
 
+    import os
+    modes = tuple(int(m) for m in os.environ.get(
+        "PNP_TPU_OPT_MODES", "3").split(","))
     for bs in (256, 512):
         ctx_ras = BR.build_block_context_for_space(space, bs)
         print(f"block_size={bs}: K={ctx_ras.K} L={ctx_ras.L}", flush=True)
+        for m in modes:
 
-        @jax.jit
-        def setup(a):
-            inv = BR.build_local_inverses(ctx_ras, a, free)
-            p1 = BR.build_p1_coarse(ctx_ras, a, vt.dofmap, free,
-                                    space.dof_coords)
-            return inv, p1
+            @jax.jit
+            def setup(a):
+                inv = BR.build_local_inverses(ctx_ras, a, free)
+                p1 = BR.build_p1_coarse(ctx_ras, a, vt.dofmap, free,
+                                        space.dof_coords, n_modes=m)
+                return inv, p1
 
-        t0 = time.perf_counter()
-        inv, p1 = setup(A_el)
-        jax.block_until_ready(inv)
-        print(f"  setup(+compile): {time.perf_counter() - t0:.1f} s",
-              flush=True)
-        solve_passes(inv, p1, r, 1e-5, 128, f"b{bs} 1e-5 passes")
-        solve_passes(inv, p1, r, 1e-7, 192, f"b{bs} 1e-7 deep pass")
+            t0 = time.perf_counter()
+            inv, p1 = setup(A_el)
+            jax.block_until_ready(inv)
+            print(f"  setup m={m}(+compile): "
+                  f"{time.perf_counter() - t0:.1f} s", flush=True)
+            solve_passes(inv, p1, r, 1e-5, 128, f"b{bs} m{m} 1e-5 passes")
+            if 6 not in modes:
+                solve_passes(inv, p1, r, 1e-7, 192,
+                             f"b{bs} m{m} 1e-7 deep pass")
     print("L3-POISSON-OPT-OK", flush=True)
 
 
