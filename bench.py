@@ -161,8 +161,28 @@ def run_scaled(levels: int, n_meas: int = 4, refresh: int = 4):
     return out
 
 
+def run_drybuild():
+    """Preflight mode (tools/preflight.py): build the flagship system and
+    run ONE production step on whatever backend is active (CPU in the
+    gate) — catches broken imports/renames in the bench path without TPU
+    time. Prints DRYBUILD-OK and exits 0 on success."""
+    import jax
+    import jax.numpy as jnp
+    from pnp_tpu.workloads.instationary_pnp_from_pb import build_pnp_system
+
+    cfg, space = _load(0)
+    system = build_pnp_system(cfg, space)
+    state = system.fused_step(system.uphi0, system.ucp0, system.ucm0)
+    jax.block_until_ready(state[0])
+    assert bool(jnp.isfinite(state[0]).all()), "non-finite state"
+    print("DRYBUILD-OK")
+
+
 def main():
     import subprocess
+    if len(sys.argv) >= 2 and sys.argv[1] == "--drybuild":
+        run_drybuild()
+        return
     if len(sys.argv) >= 3 and sys.argv[1] == "--scaled":
         # subprocess mode: one level per process — a 16 GB chip cannot
         # hold the 46k Poisson inverse next to another level's buffers

@@ -212,6 +212,9 @@ def assemble_local_matrices(ctx: BlockContext, A_el: Array, free: Array,
     RESOURCE_EXHAUSTED at run while each half fits comfortably
     (tools/l4_factor_bisect.log) — XLA's buffer assignment for the
     combined program keeps both halves' peaks alive at once.
+    Returns the assembled matrices WITHOUT inverting; compose with
+    :func:`invert_local_matrices`, or call :func:`build_local_inverses`
+    for the fused (small/mid-mesh) path.
     """
     squeeze = A_el.ndim == 3
     if squeeze:
@@ -251,14 +254,39 @@ def assemble_local_matrices(ctx: BlockContext, A_el: Array, free: Array,
     A = map_element_chunks(
         _assemble, (ctx.elem_ids, ctx.elem_dof_local, f_loc_t),
         chunk=256).swapaxes(0, 1)                 # (S, K, L, L)
+    return A[0] if squeeze else A
+
+
+def invert_local_matrices(A: Array) -> Array:
+    """Batched f32 inverses of assembled local matrices.
+
+    (K, L, L) or (S, K, L, L) -> same shape. The inversion half of
+    :func:`build_local_inverses`; run as its own jitted program at
+    level-4 scale (see :func:`assemble_local_matrices`).
+    """
+    squeeze = A.ndim == 3
+    A4 = A[None] if squeeze else A
+    S, K, L = A4.shape[0], A4.shape[1], A4.shape[2]
     from .direct import batched_inv_f32
     # prefer the Pallas GJ here: the (S*K, L, L) subdomain-matrix shape is
     # where it measured 2.3x faster than XLA getrf+getri, and the
     # contraction probe in batched_inv_f32 falls back to XLA if the
     # elimination degrades on an advective batch
-    inv = batched_inv_f32(A.reshape(S * K, L, L),
+    inv = batched_inv_f32(A4.reshape(S * K, L, L),
                           prefer_pallas=True).reshape(S, K, L, L)
     return inv[0] if squeeze else inv
+
+
+def build_local_inverses(ctx: BlockContext, A_el: Array, free: Array,
+                         rel_shift: float = 0.0) -> Array:
+    """Constrained local inverses, (K, L, L)/(S, K, L, L) f32.
+
+    Composes :func:`assemble_local_matrices` + :func:`invert_local_matrices`
+    in one program — the right call everywhere the fused peak fits
+    (through level 3); huge meshes call the halves separately.
+    """
+    return invert_local_matrices(
+        assemble_local_matrices(ctx, A_el, free, rel_shift))
 
 
 def make_ras_precond(ctx: BlockContext, inv: Array, free: Array,

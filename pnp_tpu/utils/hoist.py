@@ -34,6 +34,16 @@ import jax
 import numpy as np
 from jax.tree_util import tree_flatten, tree_structure, tree_unflatten
 
+def _eval_jaxpr(jaxpr, consts, *args):
+    # jax.core.eval_jaxpr works on the pinned 0.9.0; newer releases move
+    # it to jax.extend.core — guard so an upgrade fails over, not crashes
+    try:
+        return jax.core.eval_jaxpr(jaxpr, consts, *args)
+    except AttributeError:
+        from jax.extend import core as jex_core
+        return jex_core.eval_jaxpr(jaxpr, consts, *args)
+
+
 def hoist_needed(num_elements: int) -> bool:
     """True when programs over this mesh should hoist table constants.
 
@@ -54,8 +64,14 @@ def jit_hoisted(f):
 
     def wrapped(*args):
         flat, in_tree = tree_flatten(args)
-        key = (in_tree, tuple((np.shape(a), jax.numpy.result_type(a))
-                              for a in flat))
+        # weak_type is part of the key (ADVICE r4): a Python scalar and a
+        # strongly-typed array of the same shape/dtype must not share a
+        # trace, or promotion semantics silently diverge from jax.jit
+        key = (in_tree, tuple(
+            (np.shape(a), jax.numpy.result_type(a),
+             getattr(jax.api_util.shaped_abstractify(a), "weak_type",
+                     False))
+            for a in flat))
         if key not in cache:
             def _flat_f(flat_args):
                 return f(*tree_unflatten(in_tree, flat_args))
@@ -65,7 +81,7 @@ def jit_hoisted(f):
             out_tree = tree_structure(out_shape)
 
             def _eval(consts, flat_args):
-                return jax.core.eval_jaxpr(closed.jaxpr, consts, *flat_args)
+                return _eval_jaxpr(closed.jaxpr, consts, *flat_args)
 
             cache[key] = (jax.jit(_eval), closed.consts, out_tree)
         jf, consts, out_tree = cache[key]
