@@ -268,12 +268,16 @@ def invert_local_matrices(A: Array) -> Array:
     A4 = A[None] if squeeze else A
     S, K, L = A4.shape[0], A4.shape[1], A4.shape[2]
     from .direct import batched_inv_f32
-    # prefer the Pallas GJ here: the (S*K, L, L) subdomain-matrix shape is
-    # where it measured 2.3x faster than XLA getrf+getri, and the
-    # contraction probe in batched_inv_f32 falls back to XLA if the
-    # elimination degrades on an advective batch
+    # prefer the Pallas GJ at moderate batch counts: the (S*K, L, L)
+    # subdomain-matrix shape is where it measured 2.3x faster than XLA
+    # getrf+getri (41.8 -> 18.3 ms at (94, 512)), and the contraction
+    # probe in batched_inv_f32 falls back to XLA if the elimination
+    # degrades on an advective batch. At HUGE batch counts XLA's batched
+    # LU wins decisively — (5766, 403, 403) measured Pallas 39.1 s vs
+    # XLA 8.2 s (tools/l4_factor_bisect.log) — so cut over above 2048.
     inv = batched_inv_f32(A4.reshape(S * K, L, L),
-                          prefer_pallas=True).reshape(S, K, L, L)
+                          prefer_pallas=(S * K) <= 2048
+                          ).reshape(S, K, L, L)
     return inv[0] if squeeze else inv
 
 

@@ -281,8 +281,12 @@ def build_pnp_system(
     # remote compiler ships closure constants in the compile request and
     # this _setup alone captures ~1.2 GB of order-2/3/5 tables at the
     # 1.47M-element level-4 pore (HTTP 413, utils/hoist.py)
-    from ..utils.hoist import select_jit
+    from ..utils.hoist import hoist_needed, select_jit
     _jit = select_jit(vt2.num_elements)
+    # level-4 meshes also run RAS factor ASSEMBLY and INVERSION as two
+    # separate programs (fused RESOURCE_EXHAUSTEDs: both halves' peaks
+    # live at once in XLA's buffer assignment, tools/l4_factor_bisect.log)
+    _split_factor = hoist_needed(vt2.num_elements)
 
     @_jit
     def _setup(uphi_init):
@@ -476,18 +480,36 @@ def build_pnp_system(
         # candidate for the L3 Poisson's 48-iteration solves
         _coarse_modes = int(os.environ.get("PNP_TPU_P1_COARSE_MODES", "3"))
 
-        @_jit  # one program: every eager op pays a TPU compile round-trip
-        def _ras_phi_setup(A_el_):
-            inv = BR.build_local_inverses(ctx_ras, A_el_, ctx_phi.free)
-            # piecewise-LINEAR coarse space for the constant Poisson
-            # operator (factored once; ~halves two-level iterations vs
-            # the piecewise-constant space)
-            p1 = BR.build_p1_coarse(ctx_ras, A_el_, vt_phi.dofmap,
-                                    ctx_phi.free, space.dof_coords,
-                                    n_modes=_coarse_modes)
-            return inv, p1
+        if _split_factor:
+            # level-4: assembly and inversion as SEPARATE programs (the
+            # fused factor program RESOURCE_EXHAUSTEDs while each half
+            # fits, tools/l4_factor_bisect.log)
+            @_jit
+            def _ras_phi_assemble(A_el_):
+                A_loc = BR.assemble_local_matrices(ctx_ras, A_el_,
+                                                   ctx_phi.free)
+                p1 = BR.build_p1_coarse(ctx_ras, A_el_, vt_phi.dofmap,
+                                        ctx_phi.free, space.dof_coords,
+                                        n_modes=_coarse_modes)
+                return A_loc, p1
 
-        ras_phi_pre = _ras_phi_setup(A_phi_el)
+            _A_loc_phi, _p1_phi = _ras_phi_assemble(A_phi_el)
+            ras_phi_pre = (_jit(BR.invert_local_matrices)(_A_loc_phi),
+                           _p1_phi)
+            del _A_loc_phi
+        else:
+            @_jit  # one program: eager ops pay TPU compile round-trips
+            def _ras_phi_setup(A_el_):
+                inv = BR.build_local_inverses(ctx_ras, A_el_, ctx_phi.free)
+                # piecewise-LINEAR coarse space for the constant Poisson
+                # operator (factored once; ~halves two-level iterations
+                # vs the piecewise-constant space)
+                p1 = BR.build_p1_coarse(ctx_ras, A_el_, vt_phi.dofmap,
+                                        ctx_phi.free, space.dof_coords,
+                                        n_modes=_coarse_modes)
+                return inv, p1
+
+            ras_phi_pre = _ras_phi_setup(A_phi_el)
 
     use_dense_species = use_dense_poisson and _uniform_stage_diag
 
@@ -743,6 +765,19 @@ def build_pnp_system(
                 ctx_ras, A_stage, vt2.dofmap, free_pair, space.dof_coords))
         return inv
 
+    def _species_factor_ras_assemble(uphi_):
+        """Level-4 split: the assembly half of _species_factor_ras (the
+        fused factor program RESOURCE_EXHAUSTEDs at (2, 2883, 403, 403)
+        while each half fits, tools/l4_factor_bisect.log)."""
+        from ..solvers import block_ras as BR
+        K_pair = _build_K_pair(uphi_)
+        A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
+        A_loc = BR.assemble_local_matrices(ctx_ras, A_stage, free_pair)
+        p1 = (BR.build_p1_coarse_batched(ctx_ras, A_stage, vt2.dofmap,
+                                         free_pair, space.dof_coords)
+              if species_two_level else None)
+        return A_loc, p1
+
     def _species_step_reuse_ras(ras_inv, uphi_, ucp_, ucm_):
         K_pair = _build_K_pair(uphi_)
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
@@ -947,7 +982,17 @@ def build_pnp_system(
 
         _factor_kind = "ras"
     elif use_ras_factor:
-        _factor_pub = _jit(_species_factor_ras)
+        if _split_factor:
+            from ..solvers import block_ras as BR
+            _sfa_j = _jit(_species_factor_ras_assemble)
+            _inv_j = _jit(BR.invert_local_matrices)
+
+            def _factor_pub(uphi_):
+                A_loc, p1 = _sfa_j(uphi_)
+                inv = _inv_j(A_loc)
+                return (inv, p1) if species_two_level else inv
+        else:
+            _factor_pub = _jit(_species_factor_ras)
         _ssr_pub = _jit(_species_step_reuse_ras)
         _fsr_r = _jit(_make_fused_reuse(_species_step_reuse_ras))
         _fsr_pub = lambda f, u, cp, cm: _fsr_r(f, u, cp, cm, phi_pre)

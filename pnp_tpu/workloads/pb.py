@@ -88,12 +88,30 @@ def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
             return BR.build_local_inverses(ctx_ras, A_el, ctx.free)
         return A.constrained_diagonal(A_el, ctx.dofmap, ctx.ndof, ctx.free)
 
+    # level-4 meshes additionally split RAS assembly from inversion:
+    # fused, XLA's buffer assignment keeps both halves' peaks alive at
+    # once and the (K, 403, 403) factor program RESOURCE_EXHAUSTEDs
+    # while each half fits (tools/l4_factor_bisect.log)
+    from ..utils.hoist import hoist_needed
+    _split_factor = ctx_ras is not None and hoist_needed(
+        ctx.vt.num_elements)
+    if _split_factor:
+        from ..solvers import block_ras as BR
+
+        @_jit
+        def _factor_assemble(A_el):
+            return BR.assemble_local_matrices(ctx_ras, A_el, ctx.free)
+
+        _factor_invert = _jit(BR.invert_local_matrices)
+
     def assemble(u):
         # TWO programs on purpose: fusing Jacobian build + RAS
         # factorization into one made XLA remat-compress the element
         # tables into a catastrophically lane-padded bf16 copy (42x,
         # compile-time HBM OOM at the 185k-node level-3 pore)
         A_el = _jac(u)
+        if _split_factor:
+            return A_el, _factor_invert(_factor_assemble(A_el))
         return A_el, _factor(A_el)
 
     @_jit

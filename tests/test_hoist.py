@@ -81,3 +81,30 @@ def test_hoisted_production_trajectory_parity(ref_test_dir, monkeypatch):
     assert int(its) > 0
     st = sys_b.scan_steps(sb, 2)
     assert bool(jnp.isfinite(st[0]).all())
+
+
+def test_pb_split_factor_parity(ref_test_dir, monkeypatch):
+    """Level-4 PB path: with hoisting forced, the assemble/invert split
+    (workloads/pb.py) must reproduce the fused-factor Newton step."""
+    from pnp_tpu.config import read_config
+    from pnp_tpu.meshio import read_gmsh
+    from pnp_tpu.workloads.common import make_scalar_context
+    from pnp_tpu.workloads.pb import make_pb_assemble_solve, make_pb_residual
+
+    cfg = read_config(str(ref_test_dir / "pore_pnp/pore.cfg"))
+    cfg.linearSolverIterations = 3000
+    space = FunctionSpace(read_gmsh(cfg.meshfile), 1)
+    ctx = make_scalar_context(cfg, space, component=0, quad_order=3)
+    # ras_threshold=0 engages block-RAS on the 3048-dof mesh
+    asm_a, solve_a = make_pb_assemble_solve(ctx, ras_threshold=0)
+    monkeypatch.setenv("PNP_TPU_HOIST_ELEMS", "1")
+    asm_b, solve_b = make_pb_assemble_solve(ctx, ras_threshold=0)
+
+    residual = make_pb_residual(ctx)
+    u = jnp.where(ctx.free, 0.0, ctx.dirichlet)
+    r = residual(u)
+    xa, ita = solve_a(asm_a(u), r, 1e-8)
+    xb, itb = solve_b(asm_b(u), r, 1e-8)
+    assert bool(jnp.isfinite(xb).all())
+    scale = float(jnp.max(jnp.abs(xa))) + 1e-30
+    assert float(jnp.max(jnp.abs(xa - xb))) / scale < 1e-6
