@@ -10,8 +10,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices share the host's (2) cores: a large shard's
+    # compute between collectives can exceed the 40 s default rendezvous
+    # termination timeout under load, which CHECK-fails the process
+    # (observed at 46,653 nodes, tools/dryrun_large_l2.log r5)
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax

@@ -11,6 +11,8 @@ block-RAS trajectory. Reference bar: MPI exists FOR big meshes
 (/root/reference/src/pnp_solver_main.cc:106-116, loadBalance -> NOVLP).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,6 +78,41 @@ def test_two_level_coarse_cuts_poisson_iterations():
                                atol=1e-8 * float(jnp.abs(res1.x).max()))
     assert int(res2.iterations) < int(res1.iterations), (
         int(res1.iterations), int(res2.iterations))
+
+
+@needs_8
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("PNP_TPU_RUN_46K") != "1",
+                    reason="46k parity is ~an hour on a 2-core host; "
+                    "run with PNP_TPU_RUN_46K=1 (committed evidence: "
+                    "tools/results_dist46k_parity_r5.log)")
+def test_two_level_refined_pore_46k_distributed_matches_single_chip():
+    """VERDICT r4 item 6: the 46,653-node tier on the 8-device mesh vs
+    the single-chip block-RAS trajectory — the largest mesh certified
+    distributed. One production step (the PB bootstrap is shared), same
+    tolerance rationale as the 11,839 test below."""
+    from pnp_tpu.workloads.pb import solve_pb
+
+    cfg = read_config(PORE_CFG)
+    cfg.verbosity = 0
+    cfg.linearSolverIterations = 3000
+    mesh = refine_uniform(read_gmsh(cfg.meshfile), 2)
+    space = FunctionSpace(mesh, 1)
+    assert space.ndof == 46653, space.ndof
+    pb = np.asarray(solve_pb(cfg, space).u)
+    res_d = run_distributed_pnp_from_pb(
+        cfg, space, make_device_mesh(8), n_steps=1, pb_field=pb,
+        presolve_potential=True)
+    res_s = run_instationary_pnp_from_pb(
+        cfg, space, n_steps=1, presolve_potential=True,
+        poisson_inv_threshold=0)
+    for name, a, b in (("phi", res_s.phi, res_d.phi),
+                       ("cp", res_s.cp, res_d.cp),
+                       ("cm", res_s.cm, res_d.cm)):
+        a = np.asarray(a)
+        assert np.isfinite(b).all(), name
+        scale = float(np.max(np.abs(a))) + 1.0
+        assert float(np.max(np.abs(a - b))) / scale < 5e-4, name
 
 
 @needs_8

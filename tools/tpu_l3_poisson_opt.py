@@ -53,6 +53,13 @@ def main(levels=3):
     op32 = FA.make_constrained_operator_mixed(A_el, vt.dofmap, ndof, free)
     r = jnp.where(free, jnp.sin(jnp.arange(ndof) * 0.7)
                   + 0.3 * jnp.sin(jnp.arange(ndof) * 13.1), 0.0)
+    # ROUGH rhs: the r4 log's 4.9 s / 29 its (smooth sin rhs) vs the
+    # bench's 8.3 s / 48 its (production residual) gap is rhs roughness —
+    # the production Poisson rhs after a species step has white high-
+    # frequency content the smooth probe misses. Deterministic noise,
+    # constrained like the real residual.
+    rng = np.random.default_rng(7)
+    r_rough = jnp.where(free, jnp.asarray(rng.standard_normal(ndof)), 0.0)
 
     def solve_passes(inv, p1, rr, inner_red, pass_cap, label):
         M = BR.make_two_level_precond(ctx_ras, inv, None, op32, free,
@@ -103,8 +110,10 @@ def main(levels=3):
 
     import os
     modes = tuple(int(m) for m in os.environ.get(
-        "PNP_TPU_OPT_MODES", "3").split(","))
-    for bs in (256, 512):
+        "PNP_TPU_OPT_MODES", "3,6").split(","))
+    sizes = tuple(int(b) for b in os.environ.get(
+        "PNP_TPU_OPT_BS", "256,512").split(","))
+    for bs in sizes:
         ctx_ras = BR.build_block_context_for_space(space, bs)
         print(f"block_size={bs}: K={ctx_ras.K} L={ctx_ras.L}", flush=True)
         for m in modes:
@@ -121,10 +130,10 @@ def main(levels=3):
             jax.block_until_ready(inv)
             print(f"  setup m={m}(+compile): "
                   f"{time.perf_counter() - t0:.1f} s", flush=True)
-            solve_passes(inv, p1, r, 1e-5, 128, f"b{bs} m{m} 1e-5 passes")
-            if 6 not in modes:
-                solve_passes(inv, p1, r, 1e-7, 192,
-                             f"b{bs} m{m} 1e-7 deep pass")
+            solve_passes(inv, p1, r, 1e-5, 128,
+                         f"b{bs} m{m} smooth 1e-5 passes")
+            solve_passes(inv, p1, r_rough, 1e-5, 128,
+                         f"b{bs} m{m} ROUGH 1e-5 passes")
     print("L3-POISSON-OPT-OK", flush=True)
 
 
