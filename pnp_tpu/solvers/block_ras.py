@@ -268,6 +268,8 @@ def invert_local_matrices(A: Array) -> Array:
     A4 = A[None] if squeeze else A
     S, K, L = A4.shape[0], A4.shape[1], A4.shape[2]
     from .direct import batched_inv_f32
+    B = S * K
+    A_flat = A4.reshape(B, L, L).astype(jnp.float32)
     # prefer the Pallas GJ at moderate batch counts: the (S*K, L, L)
     # subdomain-matrix shape is where it measured 2.3x faster than XLA
     # getrf+getri (41.8 -> 18.3 ms at (94, 512)), and the contraction
@@ -275,10 +277,83 @@ def invert_local_matrices(A: Array) -> Array:
     # degrades on an advective batch. At HUGE batch counts XLA's batched
     # LU wins decisively — (5766, 403, 403) measured Pallas 39.1 s vs
     # XLA 8.2 s (tools/l4_factor_bisect.log) — so cut over above 2048.
-    inv = batched_inv_f32(A4.reshape(S * K, L, L),
-                          prefer_pallas=(S * K) <= 2048
+    inv = batched_inv_f32(A_flat, prefer_pallas=B <= 2048
                           ).reshape(S, K, L, L)
     return inv[0] if squeeze else inv
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=3)
+def _ooc_slice(buf, s, start, size):
+    """(size, L, L) chunk at block-row ``start`` (system ``s`` if 4-d)."""
+    z = jnp.int32(0)
+    if buf.ndim == 3:
+        return jax.lax.dynamic_slice(buf, (start, z, z),
+                                     (size,) + buf.shape[1:])
+    blk = jax.lax.dynamic_slice(buf, (s, start, z, z),
+                                (1, size) + buf.shape[2:])
+    return blk.reshape((size,) + buf.shape[2:])
+
+
+@jax.jit
+def _ooc_invert(blk):
+    from .direct import batched_inv_f32
+    return batched_inv_f32(blk, prefer_pallas=False)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _ooc_update(buf, blk, s, start):
+    z = jnp.int32(0)
+    if buf.ndim == 3:
+        return jax.lax.dynamic_update_slice(buf, blk, (start, z, z))
+    return jax.lax.dynamic_update_slice(buf, blk[None], (s, start, z, z))
+
+
+def invert_local_matrices_outofcore(A: Array, chunk: int = None) -> Array:
+    """Host-orchestrated in-place chunked inversion for HUGE batches.
+
+    Level-4 pore reality: XLA's whole-batch LU of (5766, 403, 403) wants
+    21.7 GB of program temps on a 15.75 GB chip
+    (tools/l4_probe_r5b.log); an in-jit fori_loop chunking still
+    RESOURCE_EXHAUSTEDs next to the live Poisson factors + element
+    tables (tools/l4_probe_r5d.log — the while-loop carry double-buffers
+    and the donated input does not alias through the reshape); and even
+    an EAGER device reshape of the (2, 2883, 403, 403) batch copies the
+    whole buffer (tools/l4_probe_r5e.log). So the chunking moves to the
+    HOST and never reshapes the big buffer: three small cached
+    programs — slice a (C, L, L) chunk (4-d aware), invert it,
+    dynamic_update_slice it back with the buffer DONATED (donated DUS
+    aliases reliably, r3 lesson) — keep the peak at one batch buffer +
+    one chunk's LU temps. Exact partition per system: full chunks in a
+    loop, one static remainder chunk.
+
+    Drop-in for :func:`invert_local_matrices` at the huge-mesh call
+    sites; must be called OUTSIDE jit (it dispatches programs).
+    """
+    import os
+    squeeze = A.ndim == 3
+    if squeeze:
+        S, K, L = 1, A.shape[0], A.shape[1]
+    else:
+        S, K, L = A.shape[0], A.shape[1], A.shape[2]
+    C = chunk or int(os.environ.get("PNP_TPU_INV_CHUNK", "512"))
+    C = min(C, K)
+    assert A.dtype == jnp.float32, A.dtype
+    buf = A
+    n_full = K // C
+    rem = K - n_full * C
+    for s in range(S):
+        s32 = jnp.int32(s)
+        for i in range(n_full):
+            blk = _ooc_invert(_ooc_slice(buf, s32, jnp.int32(i * C), C))
+            buf = _ooc_update(buf, blk, s32, jnp.int32(i * C))
+        if rem:
+            blk = _ooc_invert(_ooc_slice(buf, s32, jnp.int32(n_full * C),
+                                         rem))
+            buf = _ooc_update(buf, blk, s32, jnp.int32(n_full * C))
+    return buf
 
 
 def build_local_inverses(ctx: BlockContext, A_el: Array, free: Array,

@@ -65,6 +65,7 @@ def newton_solve(
     params: NewtonParams,
     assemble_fn: Callable[[Array], Any] = None,
     assembled_solve_fn: Callable[[Any, Array, float], tuple] = None,
+    jit_fn: Callable = jax.jit,
 ) -> NewtonResult:
     """Solve residual_fn(u) = 0.
 
@@ -79,6 +80,13 @@ def newton_solve(
     ``assembled_solve_fn(jac_ctx, r, lin_red)`` solves with it. When the
     last defect reduction rate defect/prev_defect <= threshold the stale
     context is reused (PDELab Newton ``prepare_step`` semantics).
+
+    ``jit_fn``: the jit used for the line-search program. Huge meshes
+    (level-4 pore, 1.47M elements) pass ``utils.hoist.jit_hoisted`` so
+    the element tables the line search captures through ``residual_fn``
+    ride as runtime arguments, not compile-request constants (the
+    remote-compile HTTP 413 body limit — the PB residual itself was
+    hoisted in r4 but the line-search wrapper re-captured the tables).
     """
     split = assemble_fn is not None
     assert split == (assembled_solve_fn is not None), (
@@ -91,7 +99,7 @@ def newton_solve(
         return NewtonResult(u=u, defect=defect0, initial_defect=defect0,
                             iterations=0, converged=True)
 
-    line_search = _make_line_search(residual_fn, params)
+    line_search = _make_line_search(residual_fn, params, jit_fn=jit_fn)
     total_lin = 0
     jac_builds = 0
     jac_ctx = None
@@ -132,7 +140,7 @@ def newton_solve(
                         linear_iterations=total_lin, jacobian_builds=jac_builds)
 
 
-def _make_line_search(residual_fn, params: NewtonParams):
+def _make_line_search(residual_fn, params: NewtonParams, jit_fn=jax.jit):
     """Hackbusch-Reusken accept-best backtracking as a jitted while_loop.
 
     ``line_search_max == 0`` disables the search (plain Newton step,
@@ -145,7 +153,7 @@ def _make_line_search(residual_fn, params: NewtonParams):
     damping = params.line_search_damping
     max_it = params.line_search_max
     if max_it == 0:
-        @jax.jit
+        @jit_fn
         def plain_step(u, z, defect):
             u_new = u - z
             r_new = residual_fn(u_new)
@@ -153,7 +161,7 @@ def _make_line_search(residual_fn, params: NewtonParams):
 
         return plain_step
 
-    @jax.jit
+    @jit_fn
     def line_search(u, z, defect):
         def try_lambda(lam):
             u_new = u - lam * z

@@ -494,7 +494,9 @@ def build_pnp_system(
                 return A_loc, p1
 
             _A_loc_phi, _p1_phi = _ras_phi_assemble(A_phi_el)
-            ras_phi_pre = (_jit(BR.invert_local_matrices)(_A_loc_phi),
+            # host-orchestrated chunked in-place inversion (whole-batch
+            # and in-jit-chunked programs both RESOURCE_EXHAUST at L4)
+            ras_phi_pre = (BR.invert_local_matrices_outofcore(_A_loc_phi),
                            _p1_phi)
             del _A_loc_phi
         else:
@@ -985,7 +987,8 @@ def build_pnp_system(
         if _split_factor:
             from ..solvers import block_ras as BR
             _sfa_j = _jit(_species_factor_ras_assemble)
-            _inv_j = _jit(BR.invert_local_matrices)
+            # host-orchestrated chunked in-place inversion (L4 HBM)
+            _inv_j = BR.invert_local_matrices_outofcore
 
             def _factor_pub(uphi_):
                 A_loc, p1 = _sfa_j(uphi_)

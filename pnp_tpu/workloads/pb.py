@@ -102,7 +102,10 @@ def make_pb_assemble_solve(ctx: ScalarContext, ras_threshold: int = 8192,
         def _factor_assemble(A_el):
             return BR.assemble_local_matrices(ctx_ras, A_el, ctx.free)
 
-        _factor_invert = _jit(BR.invert_local_matrices)
+        # host-orchestrated chunked in-place inversion (L4 HBM): the
+        # whole-batch (5766, 403, 403) LU wants 21.7 GB of temps and
+        # in-jit chunking still OOMs next to the live factors
+        _factor_invert = BR.invert_local_matrices_outofcore
 
     def assemble(u):
         # TWO programs on purpose: fusing Jacobian build + RAS
@@ -168,6 +171,8 @@ def solve_pb(sys: Sysparams, space: FunctionSpace,
         reassemble_threshold=sys.newtonReassembleThreshold,
     )
     assemble, solve = make_pb_assemble_solve(ctx)
+    from ..utils.hoist import select_jit
     return newton_solve(
         make_pb_residual(ctx), None, u0, params,
-        assemble_fn=assemble, assembled_solve_fn=solve)
+        assemble_fn=assemble, assembled_solve_fn=solve,
+        jit_fn=select_jit(ctx.vt.num_elements))

@@ -26,6 +26,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def mem(tag):
+    s = jax.local_devices()[0].memory_stats() or {}
+    print(f"[mem {tag}] in_use={s.get('bytes_in_use', 0)/2**30:.2f} GiB "
+          f"peak={s.get('peak_bytes_in_use', 0)/2**30:.2f} "
+          f"limit={s.get('bytes_limit', 0)/2**30:.2f}", flush=True)
+    try:
+        arrs = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)[:12]
+        for a in arrs:
+            print(f"    live {a.nbytes/2**20:8.1f} MiB {a.dtype} "
+                  f"{a.shape}", flush=True)
+    except Exception as e:
+        print(f"    live-array census failed: {e}", flush=True)
+
+
 def main():
     from pnp_tpu.config import read_config
     from pnp_tpu.fem.space import FunctionSpace
@@ -47,6 +61,7 @@ def main():
     print(f"build (incl. PB Newton): {time.perf_counter() - t0:.1f} s | "
           f"pb_its={system.pb_newton_iterations}", flush=True)
 
+    mem("post-build")
     uphi, ucp, ucm = system.uphi0, system.ucp0, system.ucm0
     t0 = time.perf_counter()
     uphi, po_it = system.poisson_solve(uphi, ucp, ucm)
@@ -54,11 +69,13 @@ def main():
     print(f"poisson presolve(+compile): {time.perf_counter() - t0:.1f} s "
           f"({int(po_it)} its)", flush=True)
 
+    mem("pre-factor")
     t0 = time.perf_counter()
     factor = system.species_factor(uphi)
     jax.block_until_ready(factor)
     print(f"species factor(+compile): {time.perf_counter() - t0:.1f} s",
           flush=True)
+    mem("post-factor")
 
     for i in range(3):
         t0 = time.perf_counter()

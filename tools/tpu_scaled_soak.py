@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-LEVELS = {1: 120, 2: 50}
+LEVELS = {1: 120, 2: 50, 3: 20}
 
 
 def soak(level: int, n_steps: int):
