@@ -311,6 +311,28 @@ def _ooc_update(buf, blk, s, start):
     return jax.lax.dynamic_update_slice(buf, blk[None], (s, start, z, z))
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _ooc_set_system(buf, part, s):
+    """Write a (K, L, L) system slice into the (S, K, L, L) buffer."""
+    z = jnp.int32(0)
+    return jax.lax.dynamic_update_slice(buf, part[None], (s, z, z, z))
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _ooc_pad_identity(blk, size):
+    """(rem, L, L) -> (size, L, L): identity blocks beyond rem."""
+    rem, L = blk.shape[0], blk.shape[1]
+    eye = jnp.broadcast_to(jnp.eye(L, dtype=blk.dtype),
+                           (size - rem, L, L))
+    return jnp.concatenate([blk, eye], axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=4)
+def _ooc_update_cropped(buf, blk, s, start, rem):
+    """Write only the first ``rem`` rows of ``blk`` at ``start``."""
+    return _ooc_update(buf, blk[:rem], s, start)
+
+
 def invert_local_matrices_outofcore(A: Array, chunk: int = None) -> Array:
     """Host-orchestrated in-place chunked inversion for HUGE batches.
 
@@ -350,9 +372,16 @@ def invert_local_matrices_outofcore(A: Array, chunk: int = None) -> Array:
             blk = _ooc_invert(_ooc_slice(buf, s32, jnp.int32(i * C), C))
             buf = _ooc_update(buf, blk, s32, jnp.int32(i * C))
         if rem:
-            blk = _ooc_invert(_ooc_slice(buf, s32, jnp.int32(n_full * C),
-                                         rem))
-            buf = _ooc_update(buf, blk, s32, jnp.int32(n_full * C))
+            # NEVER invert the raw remainder shape: a (67, 403, 403)
+            # batched inversion KERNEL-FAULTS the TPU worker (crash
+            # isolated in tools/ooc_isolate_r5.log — full 256-chunks run
+            # clean, the odd remainder kills the worker process). Pad to
+            # the proven full chunk size with identity blocks (reuses
+            # the already-compiled chunk program) and crop on update.
+            blk = _ooc_slice(buf, s32, jnp.int32(n_full * C), rem)
+            inv_p = _ooc_invert(_ooc_pad_identity(blk, C))
+            buf = _ooc_update_cropped(buf, inv_p, s32,
+                                      jnp.int32(n_full * C), rem)
     return buf
 
 

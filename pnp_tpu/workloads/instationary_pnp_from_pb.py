@@ -767,19 +767,6 @@ def build_pnp_system(
                 ctx_ras, A_stage, vt2.dofmap, free_pair, space.dof_coords))
         return inv
 
-    def _species_factor_ras_assemble(uphi_):
-        """Level-4 split: the assembly half of _species_factor_ras (the
-        fused factor program RESOURCE_EXHAUSTEDs at (2, 2883, 403, 403)
-        while each half fits, tools/l4_factor_bisect.log)."""
-        from ..solvers import block_ras as BR
-        K_pair = _build_K_pair(uphi_)
-        A_stage = a_tab[0][1] * M_el[None] + (dt * b_tab[0][1]) * K_pair
-        A_loc = BR.assemble_local_matrices(ctx_ras, A_stage, free_pair)
-        p1 = (BR.build_p1_coarse_batched(ctx_ras, A_stage, vt2.dofmap,
-                                         free_pair, space.dof_coords)
-              if species_two_level else None)
-        return A_loc, p1
-
     def _species_step_reuse_ras(ras_inv, uphi_, ucp_, ucm_):
         K_pair = _build_K_pair(uphi_)
         out, iters = _species_pair_onestep(K_pair, jnp.stack([ucp_, ucm_]),
@@ -986,19 +973,107 @@ def build_pnp_system(
     elif use_ras_factor:
         if _split_factor:
             from ..solvers import block_ras as BR
-            _sfa_j = _jit(_species_factor_ras_assemble)
+            # THREE programs at level 4, not one: the fused
+            # K_pair+assembly program RESOURCE_EXHAUSTs under the
+            # driver's residents (tools/l4_probe_r5k.log — the sync
+            # pinned it on the ASSEMBLY, not the inversion): XLA remats
+            # the (2, E, 3, 3) f64 stage matrices into lane-padded
+            # copies (~42x on (3, 3) minors, the r4 OOM class; ~9 GB at
+            # 1.47M elements). Materializing the stage matrices as an
+            # f32 STORED array between programs forces the E-minor
+            # layout (stored arrays get E-minor, r4 lesson) and halves
+            # the bytes; the f32 cast is free (assembly casts anyway).
+            @_jit
+            def _stage32_j(uphi_):
+                K_pair = _build_K_pair(uphi_)
+                return (a_tab[0][1] * M_el[None]
+                        + (dt * b_tab[0][1]) * K_pair).astype(jnp.float32)
+
+            # ... and the batched assembly runs PER SYSTEM through the
+            # 3-d path: the (S, K, L, L) variant's final (K, S) -> (S, K)
+            # transpose holds two ~4.6 GB lane-padded buffers at once
+            # and still OOMs under the driver's residents
+            # (tools/l4_probe_r5l.log); per-system (K, L, L) programs
+            # write into one donated (S, K, L, L) buffer instead.
+            @_jit
+            def _slice_sys_j(A32, s):
+                return jax.lax.dynamic_slice(
+                    A32, (s,) + (jnp.int32(0),) * 3,
+                    (1,) + A32.shape[1:])[0], jnp.take(free_pair, s, axis=0)
+
+            @_jit
+            def _asm1_j(A32s, free_s):
+                return BR.assemble_local_matrices(ctx_ras, A32s, free_s)
+
+            @_jit
+            def _p1_j(A32):
+                # f32 stage matrices feed the coarse: preconditioner-
+                # side Galerkin product, f32-safe
+                return (BR.build_p1_coarse_batched(
+                    ctx_ras, A32, vt2.dofmap, free_pair, space.dof_coords)
+                    if species_two_level else None)
+
+            _zeros_loc_j = jax.jit(
+                lambda: jnp.zeros((2, ctx_ras.K, ctx_ras.L, ctx_ras.L),
+                                  jnp.float32))
+
             # host-orchestrated chunked in-place inversion (L4 HBM)
             _inv_j = BR.invert_local_matrices_outofcore
+            _sync = os.environ.get("PNP_TPU_SYNC_FACTOR")
 
             def _factor_pub(uphi_):
-                A_loc, p1 = _sfa_j(uphi_)
+                A32 = _stage32_j(uphi_)
+                if _sync:
+                    # diagnostic: attribute async RESOURCE_EXHAUSTED
+                    # per program (L4 bring-up)
+                    jax.block_until_ready(A32)
+                p1 = _p1_j(A32) if species_two_level else None
+                A_loc = _zeros_loc_j()
+                for s in range(2):
+                    A32s, free_s = _slice_sys_j(A32, jnp.int32(s))
+                    part = _asm1_j(A32s, free_s)
+                    A_loc = BR._ooc_set_system(A_loc, part, jnp.int32(s))
+                    if _sync:
+                        jax.block_until_ready(A_loc)
+                del A32
                 inv = _inv_j(A_loc)
                 return (inv, p1) if species_two_level else inv
+
+            # the REUSE STEP splits the same way: compiling the K_pair
+            # build INSIDE the Krylov while_loop remats the gradphi
+            # tables into an 11.2 GB lane-padded copy (42.7x,
+            # tools/l4_probe_r5m.log compile OOM at 34.15 G) — K_pair
+            # runs as its own (proven) program and enters the solve as
+            # a runtime argument in its stored E-minor layout
+            @_jit
+            def _kpair_j(uphi_):
+                # f32 OUTPUT: an f64 K_pair program compile-OOMs on its
+                # own (the f64-emulation multi-pass remats the same
+                # 11.2 GB padded copies, tools/l4_probe_r5n.log) while
+                # the f32 sibling compiles — and this path's stage
+                # solves are mixed-precision f32 already (1e-5 stage
+                # tolerance, f32 drift entries are ~1e-7-accurate)
+                return _build_K_pair(uphi_).astype(jnp.float32)
+
+            @_jit
+            def _step_with_kpair(K_pair, ras_inv, ucp_, ucm_):
+                out, iters = _species_pair_onestep(
+                    K_pair, jnp.stack([ucp_, ucm_]), None, ras_inv)
+                return out[0], out[1], iters
+
+            def _ssr_pub(factor, uphi_, ucp_, ucm_):
+                return _step_with_kpair(_kpair_j(uphi_), factor,
+                                        ucp_, ucm_)
+
+            def _fsr_pub(factor, u, cp, cm):
+                cp2, cm2, _ = _ssr_pub(factor, u, cp, cm)
+                u2, _ = _ps_j(u, cp2, cm2, phi_pre)
+                return u2, cp2, cm2
         else:
             _factor_pub = _jit(_species_factor_ras)
-        _ssr_pub = _jit(_species_step_reuse_ras)
-        _fsr_r = _jit(_make_fused_reuse(_species_step_reuse_ras))
-        _fsr_pub = lambda f, u, cp, cm: _fsr_r(f, u, cp, cm, phi_pre)
+            _ssr_pub = _jit(_species_step_reuse_ras)
+            _fsr_r = _jit(_make_fused_reuse(_species_step_reuse_ras))
+            _fsr_pub = lambda f, u, cp, cm: _fsr_r(f, u, cp, cm, phi_pre)
         _factor_kind = "ras"
 
     return PnpSystem(
