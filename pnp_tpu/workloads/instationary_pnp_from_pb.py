@@ -611,7 +611,8 @@ def build_pnp_system(
         from ..solvers.direct import batched_inv_f32
         return batched_inv_f32(_species_dense_f32(uphi_))
 
-    def _species_pair_onestep(K_pair, u_old, factor=None, ras_inv=None):
+    def _species_pair_onestep(K_pair, u_old, factor=None, ras_inv=None,
+                              huge_mesh=False):
         """All DIRK stages for BOTH species as one batched system (2, ndof).
 
         Linear stage solves at tol 1e-5 per reference :383-386. Batching
@@ -632,17 +633,48 @@ def build_pnp_system(
         # scatter chain costs fixed latency on TPU
         ms_cache, as_cache = {}, {}
 
+        # huge meshes (level 4, 1.47M elements): every whole-E
+        # gather/einsum/scatter OUTSIDE the Krylov loop gets remat-
+        # compressed by XLA into 42.7x lane-padded copies (an 11.2 GB
+        # (8, E, 2, 3) temp — compile OOM at 34 GB on a 15.75 GB chip,
+        # tools/l4_probe_r5p.log); the rhs builds go through
+        # map_element_chunk_sum and the element products stay f32 (the
+        # mixed operator casts to f32 anyway; stage tolerance 1e-5)
+        from ..operators.common import map_element_chunk_sum
+        M_rhs = M_el.astype(jnp.float32) if huge_mesh else M_el
+
+        def _mass_apply(u):
+            if huge_mesh:
+                def body(M_c, dm_c):
+                    ye = jnp.einsum("eij,sej->sei", M_c, u[:, dm_c])
+                    return jnp.zeros((2, ndof)).at[
+                        :, dm_c.ravel()].add(ye.reshape(2, -1),
+                                             mode="drop")
+                return map_element_chunk_sum(body, (M_rhs, vt5.dofmap))
+            ye = jnp.einsum("eij,sej->sei", M_el, u[:, vt5.dofmap])
+            return jnp.zeros((2, ndof)).at[
+                :, vt5.dofmap.ravel()].add(ye.reshape(2, -1))
+
+        def _alpha_apply(u):
+            if huge_mesh:
+                K_sw = K_pair.swapaxes(0, 1)         # (E, 2, 3, 3)
+
+                def body(K_c, dm_c):
+                    ye = jnp.einsum("esij,sej->sei", K_c, u[:, dm_c])
+                    return jnp.zeros((2, ndof)).at[
+                        :, dm_c.ravel()].add(ye.reshape(2, -1),
+                                             mode="drop")
+                return map_element_chunk_sum(body, (K_sw, vt2.dofmap))
+            return FA.spmv_batched(K_pair, u, vt2.dofmap, ndof)
+
         def mass_scatter(j, levels):
             if j not in ms_cache:
-                ye = jnp.einsum("eij,sej->sei", M_el, levels[j][:, vt5.dofmap])
-                ms_cache[j] = jnp.zeros((2, ndof)).at[
-                    :, vt5.dofmap.ravel()].add(ye.reshape(2, -1))
+                ms_cache[j] = _mass_apply(levels[j])
             return ms_cache[j]
 
         def alpha_scatter(j, levels):
             if j not in as_cache:
-                as_cache[j] = FA.spmv_batched(K_pair, levels[j], vt2.dofmap,
-                                              ndof)
+                as_cache[j] = _alpha_apply(levels[j])
             return as_cache[j]
 
         solve_direct = A_stage = None
@@ -669,18 +701,19 @@ def build_pnp_system(
                 # diagonal) and the dofmap: ONE gather/einsum/scatter pass
                 r = hist + FA.spmv_batched(A_stage, guess, vt2.dofmap, ndof)
             else:
-                ye = jnp.einsum("eij,sej->sei", M_el, guess[:, vt5.dofmap])
-                mg = jnp.zeros((2, ndof)).at[:, vt5.dofmap.ravel()].add(
-                    ye.reshape(2, -1))
-                r = hist + a_ii * mg + dt * b_ii * FA.spmv_batched(
-                    K_pair, guess, vt2.dofmap, ndof)
+                r = (hist + a_ii * _mass_apply(guess)
+                     + dt * b_ii * _alpha_apply(guess))
             r = jnp.where(free_pair, r, 0.0)
             if solve_direct is not None:
                 z, k = solve_direct(r, stage_reduction)
                 levels.append(guess - z)
                 iters = iters + k
                 continue
-            A_el = a_ii * M_el[None] + (dt * b_ii) * K_pair
+            # huge meshes: the f32 product keeps the whole-E stage blocks
+            # out of the f64-emulation remat path (the mixed operator
+            # casts to f32 anyway)
+            A_el = a_ii * (M_rhs[None] if huge_mesh else M_el[None]) \
+                + (dt * b_ii) * K_pair
             if use_block_ras and mixed_precision:
                 op = FA.make_constrained_operator_mixed(A_el, vt2.dofmap,
                                                         ndof, free_pair)
@@ -1045,20 +1078,61 @@ def build_pnp_system(
             # tools/l4_probe_r5m.log compile OOM at 34.15 G) — K_pair
             # runs as its own (proven) program and enters the solve as
             # a runtime argument in its stored E-minor layout
+            # ... and even a STANDALONE whole-E K_pair program (f64 OR
+            # f32 output) compile-OOMs on the same 11.2 GB padded remat
+            # (tools/l4_probe_r5n.log, r5o.log) — so K_pair builds in
+            # HOST-level element chunks: one small program slices the
+            # tables dynamically and emits a (2, CE, 3, 3) f32 chunk,
+            # written into a donated buffer; the last chunk overlaps
+            # backward (reads are from immutable tables, overlapped
+            # writes are identical values). f32 is fine here: this
+            # path's stage solves are mixed-precision f32 already
+            # (1e-5 stage tolerance, f32 drift entries ~1e-7-accurate).
+            _E2 = vt2.num_elements
+            _CE = min(65536, _E2)
+            _n_kch = -(-_E2 // _CE)
+
             @_jit
+            def _kchunk_j(uphi_, start):
+                z = jnp.int32(0)
+                gp = jax.lax.dynamic_slice(
+                    vt2.gradphi, (start, z, z, z),
+                    (_CE,) + vt2.gradphi.shape[1:])
+                qw = jax.lax.dynamic_slice(vt2.qw, (start, z),
+                                           (_CE, vt2.qw.shape[1]))
+                qy = jax.lax.dynamic_slice(vt2.qy, (start, z),
+                                           (_CE, vt2.qy.shape[1]))
+                dm = jax.lax.dynamic_slice(vt2.dofmap, (start, z),
+                                           (_CE, vt2.dofmap.shape[1]))
+                tc = dataclasses.replace(vt2, gradphi=gp, qw=qw, qy=qy)
+                gphi = interp_grad(uphi_[dm], gp)
+                return jnp.stack([
+                    V.drift_diffusion_jacobian_el(gphi, tc, +1.0, False,
+                                                  pi),
+                    V.drift_diffusion_jacobian_el(gphi, tc, -1.0, False,
+                                                  pi)]).astype(jnp.float32)
+
+            _zeros_kpair_j = jax.jit(
+                lambda: jnp.zeros((2, _E2, 3, 3), jnp.float32))
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def _kpair_set_j(buf, blk, start):
+                z = jnp.int32(0)
+                return jax.lax.dynamic_update_slice(buf, blk,
+                                                    (z, start, z, z))
+
             def _kpair_j(uphi_):
-                # f32 OUTPUT: an f64 K_pair program compile-OOMs on its
-                # own (the f64-emulation multi-pass remats the same
-                # 11.2 GB padded copies, tools/l4_probe_r5n.log) while
-                # the f32 sibling compiles — and this path's stage
-                # solves are mixed-precision f32 already (1e-5 stage
-                # tolerance, f32 drift entries are ~1e-7-accurate)
-                return _build_K_pair(uphi_).astype(jnp.float32)
+                buf = _zeros_kpair_j()
+                for i in range(_n_kch):
+                    start = jnp.int32(min(i * _CE, _E2 - _CE))
+                    buf = _kpair_set_j(buf, _kchunk_j(uphi_, start), start)
+                return buf
 
             @_jit
             def _step_with_kpair(K_pair, ras_inv, ucp_, ucm_):
                 out, iters = _species_pair_onestep(
-                    K_pair, jnp.stack([ucp_, ucm_]), None, ras_inv)
+                    K_pair, jnp.stack([ucp_, ucm_]), None, ras_inv,
+                    huge_mesh=True)
                 return out[0], out[1], iters
 
             def _ssr_pub(factor, uphi_, ucp_, ucm_):
